@@ -1,0 +1,113 @@
+"""Typed configuration replacing the reference's three config tiers.
+
+The reference configures via (1) module-level UPPERCASE constants with
+commented per-dataset alternates (optical_flow_seg.py:24-112), (2) argparse
+CLIs, (3) yacs CfgNode trees for FlowFormer.  Here a single frozen-dataclass
+hierarchy covers all of it, with per-dataset presets mirroring
+``data/*/Parameters.txt``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from nsof_tpu.ops.farneback import PRESETS as FB_PRESETS, FarnebackParams
+from nsof_tpu.ops.roi import RoiConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """Task-head parameters shared by seg/tracking/prediction."""
+
+    seg_th: float = 1.0  # SEG_TH (optical_flow_seg.py:49)
+    morph_ksize: int = 10  # elliptical SE size for the seg head (:349)
+    morph_iters: int = 5  # dilate+erode repetitions (:350)
+    close_ksize: int = 3  # tracking head MORPH_CLOSE SE (optical_flow_ob.py:344)
+    min_box_area: int = 500  # tracking contour-area filter (:351)
+    nms_iou: float = 0.2  # tracking NMS threshold (:373)
+    max_boxes: int = 32  # static slots for tracking boxes
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """One dataset's full pipeline configuration."""
+
+    name: str
+    image_h: int
+    image_w: int
+    roi: RoiConfig = RoiConfig()
+    fb: FarnebackParams = FarnebackParams()
+    head: HeadConfig = HeadConfig()
+    # Static ROI-window size (rounded-up max ROI over the dataset); the
+    # idiomatic-TPU replacement for the reference's dynamic crops.  None ⇒
+    # full image (always correct, no speedup).
+    window_h: Optional[int] = None
+    window_w: Optional[int] = None
+    offset: int = 0  # OFFSET into the state matrix (optical_flow_seg.py:37)
+
+    @property
+    def win_shape(self) -> tuple[int, int]:
+        return (
+            self.window_h or self.image_h,
+            self.window_w or self.image_w,
+        )
+
+
+def _roi(memsize, thres, mode=2, k_max=16):
+    return RoiConfig(memsize=memsize, thres=thres, mode=mode, k_max=k_max)
+
+
+# Image sizes verified from data/*/RGB; MEMSIZE/THRES from Parameters.txt;
+# grid shapes from the bundled constructed_3D_matrix.mat files.
+DATASETS = {
+    "grasp": PipelineConfig(
+        name="grasp",
+        image_h=1920,
+        image_w=1080,
+        roi=_roi(80, 250),
+        fb=FB_PRESETS["grasp"],
+        # scripts/scan_roi_sizes.py: the merged grasp ROI reaches
+        # 1920×840, so the static window must be the full frame for
+        # reference-exact output (separate-region mode is the road to a
+        # smaller window on this scene)
+        window_h=None,
+        window_w=None,
+    ),
+    "tabletennis": PipelineConfig(
+        name="tabletennis",
+        image_h=160,
+        image_w=160,
+        roi=_roi(10, 245),
+        fb=FB_PRESETS["tabletennis"],
+        window_h=160,
+        window_w=160,
+    ),
+    "autodriving": PipelineConfig(
+        name="autodriving",
+        image_h=801,
+        image_w=801,
+        roi=_roi(200, 114),
+        fb=FB_PRESETS["autodriving"],
+        window_h=801,
+        window_w=801,
+    ),
+    "uav": PipelineConfig(
+        name="uav",
+        image_h=161,
+        image_w=161,
+        roi=_roi(40, 114),
+        fb=FB_PRESETS["uav"],
+        window_h=161,
+        window_w=161,
+    ),
+    "uavnew2": PipelineConfig(
+        name="uavnew2",
+        image_h=600,
+        image_w=600,
+        roi=_roi(40, 114),
+        fb=FB_PRESETS["uavnew2"],
+        window_h=600,
+        window_w=600,
+    ),
+}

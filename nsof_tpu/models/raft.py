@@ -1,0 +1,474 @@
+"""RAFT optical flow in Flax — the deep velocity-inference backend.
+
+TPU-native re-design of the reference's RAFT (codebase/RAFT/core/raft.py:
+86-145): feature/context CNN encoders at 1/8 resolution, an all-pairs
+correlation pyramid, iterative ConvGRU refinement, and convex-combination 8×
+upsampling.  Differences from the CUDA/torch original, by design:
+
+- NHWC layout throughout (TPU conv-friendly), parameters in float32 with
+  optionally bfloat16 activations (``compute_dtype``) — replacing torch AMP
+  (core/raft.py:11-21); no loss scaling needed on TPU.
+- The all-pairs correlation volume is a single batched matmul (MXU work) —
+  the memory-efficient windowed alternative lives in
+  :mod:`nsof_tpu.ops.correlation` as a Pallas kernel mirroring
+  ``alt_cuda_corr`` (correlation_kernel.cu:19-119).
+- The recurrent update loop is a ``lax.scan`` over iterations with static
+  iteration count (core/raft.py:123-140 uses a Python loop).
+
+Model sizes match the reference: 'basic' hdim=128 cdim=128 corr r=4, 'small'
+hdim=96 cdim=64 r=3 (core/raft.py:29-39).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RaftConfig:
+    small: bool = False
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 12
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def hidden_dim(self) -> int:
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self) -> int:
+        return 64 if self.small else 128
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    norm: str = "instance"
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    def _norm(self, name):
+        if self.norm == "group":
+            return nn.GroupNorm(num_groups=self.planes // 8, name=name,
+                                dtype=self.dtype)
+        if self.norm == "instance":
+            # InstanceNorm == GroupNorm with one group per channel,
+            # no learned stats over batch
+            return nn.GroupNorm(num_groups=None, group_size=1, name=name,
+                                use_bias=False, use_scale=False,
+                                dtype=self.dtype)
+        if self.norm == "batch":
+            # batch-independent replacement: GroupNorm(8 channels/group) —
+            # BatchNorm's running stats don't map well to pure-functional
+            # sharded training; GN is the standard substitute
+            return nn.GroupNorm(num_groups=self.planes // 8, name=name,
+                                dtype=self.dtype)
+        return lambda x: x
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1",
+                    dtype=self.dtype)(x)
+        y = nn.relu(self._norm("norm1")(y))
+        y = nn.Conv(self.planes, (3, 3), name="conv2", dtype=self.dtype)(y)
+        y = nn.relu(self._norm("norm2")(y))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        name="downsample", dtype=self.dtype)(x)
+            x = self._norm("norm3")(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """Residual CNN encoder to 1/8 resolution (core/extractor.py:118-267)."""
+
+    output_dim: int = 256
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
+        if self.norm != "none":
+            x = nn.GroupNorm(
+                num_groups=None if self.norm == "instance" else 8,
+                group_size=1 if self.norm == "instance" else None,
+                use_bias=self.norm != "instance",
+                use_scale=self.norm != "instance",
+                name="norm1", dtype=self.dtype,
+            )(x)
+        x = nn.relu(x)
+        for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+            x = ResidualBlock(planes, self.norm, stride, self.dtype,
+                              name=f"layer{i}_0")(x)
+            x = ResidualBlock(planes, self.norm, 1, self.dtype,
+                              name=f"layer{i}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2",
+                       dtype=self.dtype)(x)
+
+
+class SmallEncoder(nn.Module):
+    """Bottleneck encoder of RAFT-small (core/extractor.py:170-267)."""
+
+    output_dim: int = 128
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
+        if self.norm == "instance":
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                             use_scale=False, name="norm1",
+                             dtype=self.dtype)(x)
+        x = nn.relu(x)
+        for i, (planes, stride) in enumerate([(32, 1), (64, 2), (96, 2)]):
+            x = ResidualBlock(planes, self.norm, stride, self.dtype,
+                              name=f"layer{i}_0")(x)
+            x = ResidualBlock(planes, self.norm, 1, self.dtype,
+                              name=f"layer{i}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2",
+                       dtype=self.dtype)(x)
+
+
+# ── correlation ───────────────────────────────────────────────────────────
+
+
+def all_pairs_correlation(fmap1: Array, fmap2: Array) -> Array:
+    """[B, H, W, C] × [B, H, W, C] → [B, H, W, H, W] / √C.
+
+    One big MXU matmul (CorrBlock.corr, core/corr.py:52-59).
+    """
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum(
+        "bnc,bmc->bnm", f1, f2, preferred_element_type=jnp.float32
+    )
+    return corr.reshape(b, h, w, h, w) / jnp.sqrt(jnp.float32(c))
+
+
+def build_corr_pyramid(corr: Array, num_levels: int) -> list[Array]:
+    """Average-pool the last two dims into a pyramid (core/corr.py:22-27)."""
+    b, h, w, h2, w2 = corr.shape
+    x = corr.reshape(b * h * w, h2, w2, 1)
+    pyramid = [x]
+    for _ in range(num_levels - 1):
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        pyramid.append(x)
+    return pyramid
+
+
+def bilinear_sample(img: Array, x: Array, y: Array) -> Array:
+    """Bilinear gather with zero padding outside (grid_sample zeros,
+    core/utils/utils.py:57-71).  img [N, H, W, C]; x/y [N, ...]."""
+    n, h, w, c = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def gather(xi, yi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        batch_idx = jnp.arange(n).reshape((n,) + (1,) * (x.ndim - 1))
+        vals = img[batch_idx, yi, xi]
+        return vals * valid[..., None]
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def corr_lookup(pyramid: Sequence[Array], coords: Array, radius: int) -> Array:
+    """Sample (2r+1)² windows at each pyramid level (CorrBlock.__call__,
+    core/corr.py:29-50).
+
+    coords: [B, H, W, 2] current target coordinates at 1/8 res.
+    Returns [B, H, W, levels*(2r+1)²].
+    """
+    b, h, w, _ = coords.shape
+    r = radius
+    delta = jnp.stack(
+        jnp.meshgrid(
+            jnp.linspace(-r, r, 2 * r + 1),
+            jnp.linspace(-r, r, 2 * r + 1),
+            indexing="ij",
+        ),
+        axis=-1,
+    )  # [2r+1, 2r+1, 2] as (dy, dx)
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        centroid = coords.reshape(b * h * w, 1, 1, 2) / (2**lvl)
+        cx = centroid[..., 0] + delta[None, ..., 1]
+        cy = centroid[..., 1] + delta[None, ..., 0]
+        sampled = bilinear_sample(corr, cx, cy)  # [BHW, 2r+1, 2r+1, 1]
+        out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
+    return jnp.concatenate(out, axis=-1)
+
+
+# ── update block ─────────────────────────────────────────────────────────
+
+
+class FlowHead(nn.Module):
+    hidden: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.hidden, (3, 3), dtype=self.dtype)(x))
+        return nn.Conv(2, (3, 3), dtype=self.dtype)(x)
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        for name, ksize in (("h", (1, 5)), ("v", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden_dim, ksize,
+                                   name=f"convz_{name}",
+                                   dtype=self.dtype)(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden_dim, ksize,
+                                   name=f"convr_{name}",
+                                   dtype=self.dtype)(hx))
+            q = nn.tanh(
+                nn.Conv(self.hidden_dim, ksize, name=f"convq_{name}",
+                        dtype=self.dtype)(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class ConvGRU(nn.Module):
+    hidden_dim: int = 96
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), name="convz",
+                               dtype=self.dtype)(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), name="convr",
+                               dtype=self.dtype)(hx))
+        q = nn.tanh(
+            nn.Conv(self.hidden_dim, (3, 3), name="convq", dtype=self.dtype)(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    cfg: RaftConfig
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        dt = self.cfg.compute_dtype
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1", dtype=dt)(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), name="convc2", dtype=dt)(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), name="convf1", dtype=dt)(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), name="convf2", dtype=dt)(flo))
+        out = nn.relu(
+            nn.Conv(128 - 2, (3, 3), name="conv", dtype=dt)(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SmallMotionEncoder(nn.Module):
+    cfg: RaftConfig
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        dt = self.cfg.compute_dtype
+        cor = nn.relu(nn.Conv(96, (1, 1), name="convc1", dtype=dt)(corr))
+        flo = nn.relu(nn.Conv(64, (7, 7), name="convf1", dtype=dt)(flow))
+        flo = nn.relu(nn.Conv(32, (3, 3), name="convf2", dtype=dt)(flo))
+        out = nn.relu(
+            nn.Conv(80, (3, 3), name="conv", dtype=dt)(
+                jnp.concatenate([cor, flo], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class BasicUpdateBlock(nn.Module):
+    cfg: RaftConfig
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        dt = self.cfg.compute_dtype
+        motion = BasicMotionEncoder(self.cfg, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.cfg.hidden_dim, dtype=dt, name="gru")(net, x)
+        delta = FlowHead(256, dtype=dt, name="flow_head")(net)
+        mask = nn.Sequential(
+            [
+                nn.Conv(256, (3, 3), dtype=dt),
+                nn.relu,
+                nn.Conv(64 * 9, (1, 1), dtype=dt),
+            ],
+            name="mask",
+        )(net)
+        return net, 0.25 * mask, delta
+
+
+class SmallUpdateBlock(nn.Module):
+    cfg: RaftConfig
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        dt = self.cfg.compute_dtype
+        motion = SmallMotionEncoder(self.cfg, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.cfg.hidden_dim, dtype=dt, name="gru")(net, x)
+        delta = FlowHead(128, dtype=dt, name="flow_head")(net)
+        return net, None, delta
+
+
+def coords_grid(b: int, h: int, w: int) -> Array:
+    """[B, H, W, 2] (x, y) pixel-coordinate grid (core/utils/utils.py:74-77)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    g = jnp.stack([xs, ys], axis=-1)
+    return jnp.broadcast_to(g, (b, h, w, 2))
+
+
+def upsample_flow_convex(flow: Array, mask: Array) -> Array:
+    """Convex-combination 8× upsampling (RAFT.upsample_flow,
+    core/raft.py:72-83).  flow [B, H, W, 2]; mask [B, H, W, 576]."""
+    b, h, w, _ = flow.shape
+    mask = mask.reshape(b, h, w, 9, 8, 8)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    # 3×3 neighbourhoods of 8*flow: pad then stack shifts
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [
+            fp[:, dy : dy + h, dx : dx + w]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=3,
+    )  # [B, H, W, 9, 2]
+    up = jnp.einsum("bhwkij,bhwkc->bhwijc", mask, neigh)
+    up = up.transpose(0, 1, 4, 2, 5, 3)  # B, H, 8, W, 8, 2
+    return up.reshape(b, 8 * h, 8 * w, 2)
+
+
+def upflow8(flow: Array) -> Array:
+    """8× bilinear upsample ×8 (core/utils/utils.py:80-82)."""
+    b, h, w, c = flow.shape
+    return 8.0 * jax.image.resize(flow, (b, 8 * h, 8 * w, c), "bilinear")
+
+
+class RAFT(nn.Module):
+    """Full RAFT model; call with [B, H, W, 3] uint8/float images.
+
+    Returns the list of per-iteration upsampled flows (train mode) or the
+    final (1/8-res flow, full-res flow) pair (test mode) — matching the
+    reference's forward contract (core/raft.py:140-145).
+    """
+
+    cfg: RaftConfig = RaftConfig()
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: int | None = None,
+                 flow_init: Array | None = None, test_mode: bool = False):
+        cfg = self.cfg
+        iters = iters or cfg.iters
+        dt = cfg.compute_dtype
+        img1 = (2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0).astype(dt)
+        img2 = (2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0).astype(dt)
+
+        hdim, cdim = cfg.hidden_dim, cfg.context_dim
+        if cfg.small:
+            fnet = SmallEncoder(128, "instance", dt, name="fnet")
+            cnet = SmallEncoder(hdim + cdim, "none", dt, name="cnet")
+            update = SmallUpdateBlock(cfg, name="update_block")
+        else:
+            fnet = BasicEncoder(256, "instance", dt, name="fnet")
+            cnet = BasicEncoder(hdim + cdim, "batch", dt, name="cnet")
+            update = BasicUpdateBlock(cfg, name="update_block")
+
+        fmap1 = fnet(img1).astype(jnp.float32)
+        fmap2 = fnet(img2).astype(jnp.float32)
+        corr = all_pairs_correlation(fmap1, fmap2)
+        pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+
+        cmap = cnet(img1)
+        net = jnp.tanh(cmap[..., :hdim])
+        inp = nn.relu(cmap[..., hdim:])
+
+        b, h8, w8, _ = fmap1.shape
+        coords0 = coords_grid(b, h8, w8)
+        coords1 = coords_grid(b, h8, w8)
+        if flow_init is not None:
+            coords1 = coords1 + flow_init
+
+        flows_up = []
+        for _ in range(iters):
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr_feat = corr_lookup(pyramid, coords1, cfg.corr_radius)
+            flow = (coords1 - coords0).astype(dt)
+            net, up_mask, delta = update(
+                net, inp, corr_feat.astype(dt), flow
+            )
+            coords1 = coords1 + delta.astype(jnp.float32)
+            if up_mask is None:
+                flow_up = upflow8(coords1 - coords0)
+            else:
+                flow_up = upsample_flow_convex(
+                    coords1 - coords0, up_mask.astype(jnp.float32)
+                )
+            flows_up.append(flow_up)
+
+        if test_mode:
+            return coords1 - coords0, flows_up[-1]
+        return flows_up
+
+
+def pad_to_multiple(img: Array, mult: int = 8) -> tuple[Array, tuple]:
+    """InputPadder equivalent (core/utils/utils.py:7-24): replicate-pad H/W
+    up to a multiple of ``mult``; returns (padded, (top, bottom, left,
+    right)) for later cropping."""
+    h, w = img.shape[-3:-1] if img.ndim == 4 else img.shape[:2]
+    ph = (-h) % mult
+    pw = (-w) % mult
+    pads = (ph // 2, ph - ph // 2, pw // 2, pw - pw // 2)
+    cfgs = [(0, 0)] * img.ndim
+    axis0 = img.ndim - 3 if img.ndim >= 3 else 0
+    cfgs[axis0] = (pads[0], pads[1])
+    cfgs[axis0 + 1] = (pads[2], pads[3])
+    return jnp.pad(img, cfgs, mode="edge"), pads
+
+
+def unpad(x: Array, pads: tuple) -> Array:
+    t, bpad, l, r = pads
+    h = x.shape[-3]
+    w = x.shape[-2]
+    return x[..., t : h - bpad or None, l : w - r or None, :]

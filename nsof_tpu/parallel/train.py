@@ -1,0 +1,103 @@
+"""Sharded RAFT training step: dp over 'data', tp over 'model'.
+
+Replaces the reference's thread-based ``nn.DataParallel`` training loop
+(codebase/RAFT/train.py:136-214) with jit + NamedSharding: inputs sharded
+over 'data', large conv kernels tensor-sharded over 'model'; XLA GSPMD
+inserts gradient psums and activation all-gathers over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nsof_tpu.models.raft import RAFT, RaftConfig
+from nsof_tpu.parallel.mesh import shard_params_conv_tp
+from nsof_tpu.train.loss import sequence_loss
+from nsof_tpu.train.optim import raft_optimizer
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    rng,
+    mesh: Mesh,
+    cfg: RaftConfig = RaftConfig(),
+    image_hw: tuple[int, int] = (64, 64),
+    lr: float = 4e-4,
+    num_steps: int = 100_000,
+):
+    """Initialise sharded params + optimizer state on the mesh."""
+    model = RAFT(cfg)
+    h, w = image_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    def init_fn(rng):
+        return model.init(rng, dummy, dummy, iters=1)["params"]
+
+    abstract = jax.eval_shape(init_fn, rng)
+    shardings = shard_params_conv_tp(abstract, mesh)
+    params = jax.jit(init_fn, out_shardings=shardings)(rng)
+
+    tx = raft_optimizer(lr=lr, num_steps=num_steps)
+    opt_state = jax.jit(
+        tx.init,
+        out_shardings=jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), jax.eval_shape(tx.init, abstract)
+        ),
+    )(params)
+    # note: optimizer moments inherit param shapes; replicate the scalar
+    # state, shard the moments like the params
+    return model, tx, TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: RAFT, tx: optax.GradientTransformation,
+                    mesh: Mesh, iters: int = 12, gamma: float = 0.8):
+    """Returns jitted train_step(state, batch) with dp/tp shardings.
+
+    batch: dict with image1/image2 [B, H, W, 3], flow [B, H, W, 2],
+    valid [B, H, W]; batch dims sharded over 'data'.
+    """
+    data = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, donate_argnums=(0,),
+             in_shardings=(None, data), out_shardings=None)
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params}, batch["image1"], batch["image2"],
+                iters=iters,
+            )
+            loss, metrics = sequence_loss(
+                preds, batch["flow"], batch["valid"], gamma
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = dict(metrics, loss=loss)
+        return new_state, metrics
+
+    return train_step
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)

@@ -1,0 +1,126 @@
+"""Motion-segmentation pipeline (the reference's canonical pipeline,
+``optical_flow_seg.py``), fully on-device.
+
+Per frame pair: the device-state map gates a ROI (merged FLAG=2 box by
+default); Farnebäck flow is computed on a fixed-size window around the ROI
+and scattered into a zero flow field (:159/:204 semantics); the task head
+thresholds flow magnitude and smooths with 5× (dilate ∘ erode) using a 10×10
+elliptical SE (:322-357); the full-frame baseline runs the same head on
+whole-image flow (:492-541).  Everything is one jit-compiled function per
+dataset preset, vmap-batchable over frame pairs.
+
+Crop-boundary faithfulness: the reference runs morphology on the *cropped*
+region, so OpenCV's border convention applies at the box edge (-inf for
+dilate, +inf for erode).  With a fixed window we emulate this by re-masking
+between every dilate/erode: outside-box pixels are forced to background
+before a dilation and to foreground before an erosion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nsof_tpu.config import PipelineConfig
+from nsof_tpu.ops import colorspace as cs
+from nsof_tpu.ops import morphology as morph
+from nsof_tpu.ops import roi as roi_ops
+from nsof_tpu.ops.farneback import farneback
+
+Array = jnp.ndarray
+
+
+def seg_head_window(
+    flow_win: Array, inbox: Array, cfg: PipelineConfig
+) -> Array:
+    """The reference seg head on a fixed window restricted to ``inbox``.
+
+    flow magnitude > SEG_TH → {0,255} mask → N × (dilate; erode) with the
+    elliptical SE, crop-border semantics emulated via re-masking → >1
+    binarise (optical_flow_seg.py:322-357).
+    """
+    mag = jnp.sqrt(flow_win[..., 0] ** 2 + flow_win[..., 1] ** 2)
+    mask = jnp.where((mag > cfg.head.seg_th) & inbox, 255, 0).astype(jnp.uint8)
+    se = morph.ellipse_se(cfg.head.morph_ksize, cfg.head.morph_ksize)
+    for _ in range(cfg.head.morph_iters):
+        mask = morph.dilate_binary(jnp.where(inbox, mask, 0), se)
+        mask = morph.erode_binary(jnp.where(inbox, mask, 255), se)
+    mask = jnp.where(inbox, mask, 0)
+    return cs.threshold_binary(mask, 1, 255)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def seg_step(
+    mem_u8: Array,
+    prev_gray: Array,
+    next_gray: Array,
+    cfg: PipelineConfig,
+) -> dict[str, Array]:
+    """One ROI-gated segmentation step (merged-region FLAG=2 path).
+
+    Args:
+        mem_u8: [gh, gw] uint8 device-state map (the *second* slice of the
+            pair; only memimg2 feeds the ROI, optical_flow_seg.py:219).
+        prev_gray/next_gray: [H, W] uint8 grayscale frames.
+
+    Returns dict with ``mask`` [H, W] uint8 {0,255}, ``flow`` [H, W, 2]
+    (already negated, :461), ``box`` [4], ``any_active``, ``region_pct``.
+    """
+    h, w = cfg.image_h, cfg.image_w
+    wh, ww = cfg.win_shape
+    r = roi_ops.roi_boxes(mem_u8, h, w, cfg.roi)
+    box = r["merged"]
+    active = r["any_active"]
+
+    origin = roi_ops.window_origin(box, wh, ww, h, w)
+    p_win = roi_ops.crop_window(prev_gray, origin, wh, ww)
+    n_win = roi_ops.crop_window(next_gray, origin, wh, ww)
+    flow_win = farneback(p_win, n_win, cfg.fb)
+    flow_win = -flow_win  # Farnebäck inversion (optical_flow_seg.py:461)
+
+    inbox = roi_ops.window_box_mask(box, origin, wh, ww)
+    flow_win = jnp.where((inbox & active)[..., None], flow_win, 0.0)
+
+    mask_win = seg_head_window(flow_win, inbox & active, cfg)
+
+    flow = roi_ops.scatter_window(
+        jnp.zeros((h, w, 2), jnp.float32), flow_win, box, origin
+    )
+    mask = roi_ops.scatter_window(
+        jnp.zeros((h, w), jnp.uint8), mask_win, box, origin
+    )
+    return {
+        "mask": mask,
+        "flow": flow,
+        "box": box,
+        "any_active": active,
+        "region_pct": roi_ops.region_percentage(box, h, w),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def seg_step_full(
+    prev_gray: Array, next_gray: Array, cfg: PipelineConfig
+) -> dict[str, Array]:
+    """Full-frame baseline: whole-image Farnebäck + the same head
+    (optical_flow_seg.py:492-541)."""
+    h, w = cfg.image_h, cfg.image_w
+    flow = -farneback(prev_gray, next_gray, cfg.fb)
+    inbox = jnp.ones((h, w), bool)
+    mask = seg_head_window(flow, inbox, cfg)
+    return {"mask": mask, "flow": flow}
+
+
+def seg_batch(mem_u8, prev_gray, next_gray, cfg: PipelineConfig):
+    """vmap the ROI-gated step over a batch of frame pairs."""
+    return jax.vmap(lambda m, p, n: seg_step(m, p, n, cfg))(
+        mem_u8, prev_gray, next_gray
+    )
+
+
+def pixel_accuracy(pred: Array, gt: Array) -> Array:
+    """calculate_pixel_accuracy (optical_flow_seg.py:384-388): % of equal
+    pixels."""
+    return 100.0 * jnp.mean((pred == gt).astype(jnp.float32))

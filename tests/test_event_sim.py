@@ -1,0 +1,125 @@
+"""Event simulator tests: binning semantics, scan vs numpy oracle, synthetic
+fixture behaviour."""
+
+import numpy as np
+import pytest
+
+from nsof_tpu.device import (
+    BinnedEvents,
+    EventSimConfig,
+    bin_events,
+    generate_synthetic_events,
+    simulate_events,
+    simulate_events_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def synthetic_small():
+    # small box / short duration keeps tests fast
+    return generate_synthetic_events(
+        height=48, width=64, box_h=12, box_w=12, speed_pps=300, duration_s=0.4
+    )
+
+
+def test_synthetic_stream_shape(synthetic_small):
+    x, y, p, t = synthetic_small
+    assert x.size > 0 and x.size == y.size == p.size == t.size
+    assert set(np.unique(p)) <= {-1, 1}
+    assert (np.diff(t) >= 0).all()
+
+
+def test_bin_events_window_semantics():
+    # events at t=0, 999, 1000, 2500 with slice 1000 → windows [0,1000),
+    # [1000,2000), [2000,3000) as in reference slice_indices
+    x = np.array([1, 2, 3, 4])
+    y = np.array([1, 1, 2, 2])
+    p = np.array([1, 1, 0, 1])
+    t = np.array([0, 999, 1000, 2500])
+    b = bin_events(x, y, p, t, slice_us=1000, height=4, width=8)
+    assert b.counts.shape[0] == 3
+    assert b.counts[0].sum() == 2
+    assert b.counts[1].sum() == 1
+    assert b.counts[2].sum() == 1
+    assert b.on_any[0, 1, 1] and b.on_any[0, 1, 2]
+    assert b.off_any[1, 2, 3]
+    assert b.t_first[0] == 0 and b.t_last[0] == 999
+    assert b.t_first[2] == 2500 and b.t_last[2] == 2500
+
+
+@pytest.mark.parametrize(
+    "version,polarity",
+    [(1, "split"), (2, "split"), (2, "magnitude")],
+)
+def test_scan_matches_numpy_oracle(synthetic_small, version, polarity):
+    x, y, p_, t = synthetic_small
+    # reference maps OFF events to p==0; synthetic emits -1 (quirk kept) —
+    # exercise the off path by also remapping for one case
+    if polarity == "magnitude":
+        p_ = np.where(p_ == -1, 0, p_)
+    b = bin_events(x, y, p_, t, slice_us=1000)
+    cfg = EventSimConfig(version=version, polarity=polarity, n_snapshots=10)
+    got = simulate_events(b, cfg)
+    want = simulate_events_reference(b, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got["w_final"]), want["w_final"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["resistances"]),
+        want["resistances"],
+        rtol=1e-4,
+    )
+    assert got["resistances"].shape[0] >= 10
+
+
+def test_v1_drives_state_down_where_active(synthetic_small):
+    x, y, p_, t = synthetic_small
+    b = bin_events(x, y, p_, t, slice_us=1000)
+    cfg = EventSimConfig(version=1, active_v=-6.0)
+    out = simulate_events(b, cfg)
+    w = np.asarray(out["w_final"])
+    ever_active = np.asarray(b.any_ev).any(axis=0)
+    # active pixels driven from wini; silent pixels untouched
+    assert np.allclose(w[~ever_active], 0.5)
+    assert w[ever_active].max() > 0.5  # negative V = OFF drive, koff>0 ⇒ w↑
+
+
+def test_refractory_limits_updates():
+    # bursts on one pixel at t=0, 400, 900 with an 800 µs refractory:
+    # the t=400 burst is blocked (next_ok=800+last_ts), t=900 is allowed
+    x = np.array([3, 3, 3, 0])
+    y = np.array([2, 2, 2, 0])
+    p = np.array([1, 1, 1, 1])
+    t = np.array([0, 400, 900, 1200])  # trailing event keeps window open
+    b = bin_events(x, y, p, t, slice_us=200, height=4, width=8)
+    cfg = EventSimConfig(version=2, polarity="split", refractory_us=800)
+    got = simulate_events(b, cfg)
+    want = simulate_events_reference(b, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got["w_final"]), want["w_final"], atol=1e-6
+    )
+    # the driven pixel moved away from wini; an idle pixel did not
+    assert float(np.asarray(got["w_final"])[2, 3]) != pytest.approx(0.5)
+    assert float(np.asarray(got["w_final"])[1, 1]) == pytest.approx(0.5)
+
+
+def test_boundary_event_dropped_like_reference():
+    # an event exactly at the final window boundary is never yielded by the
+    # reference's slice generator — verify we drop it too
+    x = np.array([1, 2])
+    y = np.array([1, 2])
+    p = np.array([1, 1])
+    t = np.array([0, 200])
+    b = bin_events(x, y, p, t, slice_us=200, height=4, width=4)
+    assert b.counts.shape[0] == 1
+    assert b.counts.sum() == 1
+    assert b.on_any[0, 1, 1] and not b.on_any[0, 2, 2]
+
+
+def test_empty_stream():
+    b = bin_events(
+        np.array([]), np.array([]), np.array([]), np.array([]),
+        slice_us=1000, height=4, width=4,
+    )
+    out = simulate_events(b, EventSimConfig(version=1))
+    assert np.asarray(out["w_final"]).shape == (4, 4)
