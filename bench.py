@@ -8,8 +8,12 @@ the ≥3000 fps target from BASELINE.json.
 The workload mirrors the reference's headline configuration
 (optical_flow_seg.py with the grasp/uavnew2 Farnebäck preset): a moving
 object covering ~25% of a 640×480 frame, gated by a 48-cell device map.
-Pairs are batched via vmap to amortise dispatch; timing uses
-block_until_ready with warmup (compile excluded).
+Uses the TPU throughput path (batch-in-lanes fast Farnebäck with the
+Pallas-fused warp kernel) at batch 128.
+
+Timing notes: the experimental device tunnel caches identical executions
+and its block_until_ready can return early, so iterations feed distinct
+inputs and fetch a scalar reduction to the host.
 """
 
 import dataclasses
@@ -24,11 +28,10 @@ def main():
     import jax.numpy as jnp
 
     from nsof_tpu.config import DATASETS
-    from nsof_tpu.pipelines.segmentation import seg_step
+    from nsof_tpu.pipelines.segmentation import seg_batch_fast
 
     H, W = 480, 640
     MEMSIZE = 80  # 6×8 device grid
-    # Fixed ROI window ≈ quarter frame + EXTEND margins, MXU-aligned
     cfg = dataclasses.replace(
         DATASETS["grasp"],
         name="bench640",
@@ -41,10 +44,8 @@ def main():
         cfg, roi=dataclasses.replace(cfg.roi, memsize=MEMSIZE)
     )
 
-    B = 32
-    n_var = 6  # distinct input sets — defeats any result caching in the
-    # device tunnel, and block_until_ready alone has proven unreliable on
-    # the experimental axon backend, so timing forces a scalar host fetch
+    B = 128
+    n_var = 6
     rng = np.random.default_rng(0)
     base = rng.random((H + 64, W + 64)).astype(np.float32) * 255
     prevs, nxts = [], []
@@ -69,9 +70,7 @@ def main():
 
     @jax.jit
     def step(m, p, n):
-        masks = jax.vmap(lambda a, b, c: seg_step(a, b, c, cfg)["mask"])(
-            m, p, n
-        )
+        masks = seg_batch_fast(m, p, n, cfg)["mask"]
         return masks.astype(jnp.int32).sum()  # scalar: cheap honest fetch
 
     float(step(mem_j, prevs[0], nxts[0]))  # compile + warm

@@ -1,0 +1,230 @@
+"""Unified command-line interface.
+
+Replaces the reference's scattered script CLIs with subcommands:
+
+- ``seg`` / ``track`` / ``predict`` — run a task pipeline on a bundled
+  scene (the reference's optical_flow_{seg,ob,prediction}.py mains).
+- ``eventsim`` — event-driven device simulation from HDF5 or the synthetic
+  moving-box stream (eventsim/event_mem_sim.py CLI, :334-373).
+- ``framesim`` — frame-driven simulation from a folder of grayscale frames
+  (the MATLAB pipeline driver).
+- ``visualize`` — render npz results (visualize_npz_keyframes.py CLI).
+
+Run ``python -m nsof_tpu.cli <command> --help`` for options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _add_scene_args(p):
+    p.add_argument("--data-root", default="/root/reference/data")
+    p.add_argument("--scene", default="tabletennis",
+                   help="grasp|tabletennis|autodriving|uav|uavnew2")
+    p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--max-frames", type=int, default=None)
+
+
+def cmd_task(kind: str, args) -> int:
+    import numpy as np
+
+    from nsof_tpu.data import load_scene
+    from nsof_tpu.pipelines import runner
+
+    scene = load_scene(args.data_root, args.scene, args.max_frames)
+    out_dir = pathlib.Path(args.out or f"output/{args.scene}_{kind}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if kind == "seg":
+        res = runner.run_segmentation(
+            scene, csv_path=out_dir / "metrics_seg.csv"
+        )
+        import cv2
+
+        for i in range(res.masks.shape[0]):
+            cv2.imwrite(str(out_dir / f"seg_{scene.names[i+1]}"),
+                        res.masks[i])
+            cv2.imwrite(str(out_dir / f"origseg_{scene.names[i+1]}"),
+                        res.masks_full[i])
+    elif kind == "track":
+        res = runner.run_tracking(scene)
+        rows = []
+        for i in range(res.boxes.shape[0]):
+            keep = res.boxes[i][res.boxes_valid[i]]
+            rows.append({"frame": scene.names[i + 1],
+                         "boxes": keep.tolist()})
+        (out_dir / "tracks.json").write_text(json.dumps(rows, indent=2))
+    else:
+        res = runner.run_prediction(scene)
+        import cv2
+
+        for i in range(res.preds.shape[0]):
+            cv2.imwrite(str(out_dir / f"pred_{scene.names[i+1]}"),
+                        res.preds[i])
+    print(json.dumps({"metrics": res.metrics, "timing": res.timing}))
+    return 0
+
+
+def cmd_eventsim(args) -> int:
+    import numpy as np
+
+    from nsof_tpu.device import (
+        EventSimConfig,
+        bin_events,
+        generate_synthetic_events,
+        io,
+        simulate_events,
+    )
+
+    h5_path = pathlib.Path(args.h5)
+    if args.synthetic:
+        x, y, p, t = generate_synthetic_events()
+        h5_path = pathlib.Path("synthetic.hdf5")
+        io.save_events_h5(h5_path, x, y, p, t)
+        print(f"synthetic stream saved to {h5_path}")
+    else:
+        x, y, p, t, _, _ = io.load_events_h5(h5_path)
+
+    binned = bin_events(x, y, p, t, slice_us=args.slice_us)
+    cfg = EventSimConfig(
+        version=args.version,
+        active_v=args.active_v,
+        silent_v=args.silent_v,
+        polarity=args.polarity,
+    )
+    out = simulate_events(binned, cfg)
+    npz = h5_path.with_suffix(f".V{args.version}.npz")
+    io.save_sim_npz(npz, out["w_final"], out["resistances"])
+    io.save_sim_metadata(
+        h5_path.with_suffix(f".V{args.version}.json.gz"),
+        cfg, args.slice_us, h5_path,
+    )
+    if args.version == 2:
+        io.save_sim_npz(
+            h5_path.with_suffix(".V2_b.npz"),
+            out["w_final_b"], out["resistances_b"],
+        )
+    if not args.no_video:
+        from nsof_tpu.utils.visualize import write_video
+        import numpy as np
+
+        res = np.asarray(out["resistances"])
+        write_video(list(res), h5_path.with_suffix(f".V{args.version}.mp4"),
+                    fps=min(1_000_000 / args.slice_us, 60.0))
+    print(f"results -> {npz}")
+    return 0
+
+
+def cmd_framesim(args) -> int:
+    import cv2
+    import numpy as np
+
+    from nsof_tpu.device import FrameSimConfig, compress_frames, simulate_frames
+
+    folder = pathlib.Path(args.frames)
+    files = sorted(folder.glob("*.jpg"), key=lambda f: int(f.stem)) or sorted(
+        folder.glob("*.png"), key=lambda f: int(f.stem)
+    )
+    files = files[args.start : args.end : args.interval]
+    frames = (
+        np.stack(
+            [cv2.imread(str(f), cv2.IMREAD_GRAYSCALE) for f in files]
+        ).astype(np.float32)
+        / 255.0
+    )
+    region = None
+    if args.region:
+        y0, x0, y1, x1 = map(int, args.region.split(","))
+        region = ((y0, x0), (y1, x1))
+    grid = compress_frames(
+        frames, args.m, args.n,
+        region_ul=region[0] if region else None,
+        region_lr=region[1] if region else None,
+    )
+    cfg = FrameSimConfig(m=args.m, n=args.n, th1=args.th1, th2=args.th2,
+                         n_substeps=args.substeps)
+    out = simulate_frames(grid, cfg)
+    np_out = pathlib.Path(args.out or folder.parent / "framesim_result.npz")
+    np.savez_compressed(
+        np_out,
+        w_final=np.asarray(out["w_final"]),
+        resistances=np.asarray(out["resistances"]),
+    )
+    print(f"results -> {np_out}")
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    from nsof_tpu.utils.visualize import visualize_npz
+
+    out = visualize_npz(
+        args.npz,
+        mode=args.mode,
+        value=args.value,
+        use_log=args.log,
+        fps=args.fps,
+        key_every=args.key_every,
+        save_mp4=args.mp4,
+    )
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nsof_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for kind in ("seg", "track", "predict"):
+        p = sub.add_parser(kind)
+        _add_scene_args(p)
+
+    p = sub.add_parser("eventsim")
+    p.add_argument("--h5", default="driving_data.hdf5")
+    p.add_argument("--version", type=int, choices=[1, 2], default=1)
+    p.add_argument("--slice_us", type=int, default=1000)
+    p.add_argument("--active_v", type=float, default=-6.0)
+    p.add_argument("--silent_v", type=float, default=0.0)
+    p.add_argument("--polarity", choices=["split", "magnitude"],
+                   default="split")
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+
+    p = sub.add_parser("framesim")
+    p.add_argument("--frames", required=True, help="folder of frames")
+    p.add_argument("--m", type=int, default=40)
+    p.add_argument("--n", type=int, default=40)
+    p.add_argument("--th1", type=float, default=0.7)
+    p.add_argument("--th2", type=float, default=1.5)
+    p.add_argument("--substeps", type=int, default=1000)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--interval", type=int, default=1)
+    p.add_argument("--region", default=None, help="y0,x0,y1,x1 inclusive")
+    p.add_argument("--out", default=None)
+
+    p = sub.add_parser("visualize")
+    p.add_argument("npz")
+    p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
+    p.add_argument("--value", choices=["resistance", "state"],
+                   default="resistance")
+    p.add_argument("--log", action="store_true")
+    p.add_argument("--fps", type=float, default=None)
+    p.add_argument("--key-every", type=int, default=0)
+    p.add_argument("--mp4", action="store_true")
+
+    args = ap.parse_args(argv)
+    if args.cmd in ("seg", "track", "predict"):
+        kind = {"seg": "seg", "track": "track", "predict": "predict"}[args.cmd]
+        return cmd_task(kind, args)
+    if args.cmd == "eventsim":
+        return cmd_eventsim(args)
+    if args.cmd == "framesim":
+        return cmd_framesim(args)
+    return cmd_visualize(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

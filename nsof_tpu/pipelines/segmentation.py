@@ -120,6 +120,67 @@ def seg_batch(mem_u8, prev_gray, next_gray, cfg: PipelineConfig):
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "warp_radius", "kernel_mode")
+)
+def seg_batch_fast(
+    mem_u8: Array,
+    prev_gray: Array,
+    next_gray: Array,
+    cfg: PipelineConfig,
+    warp_radius: int = 3,
+    kernel_mode: str = "auto",
+) -> dict[str, Array]:
+    """Throughput path: batched ROI gating + the TPU fast Farnebäck.
+
+    Same semantics as :func:`seg_step` vmapped, but flow comes from
+    :func:`nsof_tpu.ops.farneback_fast.farneback_fast` (batch-in-lanes
+    layout, Pallas-fused warp) — see that module for its accuracy contract
+    vs the exact OpenCV-parity path.
+    """
+    from nsof_tpu.ops.farneback_fast import farneback_fast
+
+    h, w = cfg.image_h, cfg.image_w
+    wh, ww = cfg.win_shape
+    r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)
+    box = r["merged"]
+    active = r["any_active"]
+    origins = jax.vmap(
+        lambda bx: roi_ops.window_origin(bx, wh, ww, h, w)
+    )(box)
+    p_win = jax.vmap(
+        lambda img, oy, ox: roi_ops.crop_window(img, (oy, ox), wh, ww)
+    )(prev_gray, origins[0], origins[1])
+    n_win = jax.vmap(
+        lambda img, oy, ox: roi_ops.crop_window(img, (oy, ox), wh, ww)
+    )(next_gray, origins[0], origins[1])
+
+    flow_win = -farneback_fast(p_win, n_win, cfg.fb, warp_radius, kernel_mode)
+
+    inbox = jax.vmap(
+        lambda bx, oy, ox: roi_ops.window_box_mask(bx, (oy, ox), wh, ww)
+    )(box, origins[0], origins[1])
+    inbox = inbox & active[:, None, None]
+    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+
+    mask_win = jax.vmap(
+        lambda f, ib: seg_head_window(f, ib, cfg)
+    )(flow_win, inbox)
+    mask = jax.vmap(
+        lambda mw, bx, oy, ox: roi_ops.scatter_window(
+            jnp.zeros((h, w), jnp.uint8), mw, bx, (oy, ox)
+        )
+    )(mask_win, box, origins[0], origins[1])
+    return {
+        "mask": mask,
+        "box": box,
+        "any_active": active,
+        "region_pct": jax.vmap(
+            lambda bx: roi_ops.region_percentage(bx, h, w)
+        )(box),
+    }
+
+
 def pixel_accuracy(pred: Array, gt: Array) -> Array:
     """calculate_pixel_accuracy (optical_flow_seg.py:384-388): % of equal
     pixels."""
