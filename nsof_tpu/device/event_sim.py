@@ -75,6 +75,7 @@ def bin_events(
     slice_us: int = 1000,
     height: Optional[int] = None,
     width: Optional[int] = None,
+    use_native: bool = True,
 ) -> BinnedEvents:
     """Bin an event stream into fixed-duration windows.
 
@@ -82,6 +83,9 @@ def bin_events(
     (eventsim/event_mem_sim.py:78-83): ``arange(t[0], t[-1]+slice_us,
     slice_us)`` with ``searchsorted`` — so the final partial window is kept.
     ``height``/``width`` default to ``max+1`` as in ``load_events`` (:69-75).
+
+    Uses the single-pass C++ binner (nsof_tpu.native) when available;
+    falls back to the numpy implementation transparently.
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -92,6 +96,24 @@ def bin_events(
     if width is None:
         width = int(x.max()) + 1 if x.size else 1
     h, w = height, width
+
+    if use_native and t_us.size:
+        from nsof_tpu.native import bin_events_native
+
+        nat = bin_events_native(x, y, p, t_us, slice_us, h, w)
+        if nat is not None:
+            return BinnedEvents(
+                counts=nat["counts"],
+                on_any=nat["on_any"],
+                off_any=nat["off_any"],
+                any_ev=nat["counts"] > 0,
+                t_first=nat["t_first"],
+                t_last=nat["t_last"],
+                valid=np.ones(nat["nt"], bool),
+                height=h,
+                width=w,
+                slice_us=slice_us,
+            )
 
     if t_us.size == 0:
         z = np.zeros((0, h, w), np.uint8)

@@ -156,11 +156,20 @@ def all_pairs_correlation(fmap1: Array, fmap2: Array) -> Array:
 
 
 def build_corr_pyramid(corr: Array, num_levels: int) -> list[Array]:
-    """Average-pool the last two dims into a pyramid (core/corr.py:22-27)."""
+    """Average-pool the last two dims into a pyramid (core/corr.py:22-27).
+
+    Ceil-mode pooling (edge-pad to even first) so every level keeps ≥1 px
+    even for tiny ROI windows — the reference's floor-mode pooling crashes
+    below 2^levels px.
+    """
     b, h, w, h2, w2 = corr.shape
     x = corr.reshape(b * h * w, h2, w2, 1)
     pyramid = [x]
     for _ in range(num_levels - 1):
+        ph = x.shape[1] % 2
+        pw = x.shape[2] % 2
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         pyramid.append(x)
     return pyramid

@@ -1,0 +1,146 @@
+"""ROI-gated deep flow backends (the reference's raft_seg.py / ff_seg.py).
+
+The deep pipelines differ from the Farnebäck ones in three ways
+(codebase/RAFT/raft_seg.py): frames are resized to 1/3 (:62-72), the
+device-cell size scales accordingly (MEMSIZE/3, :460-464), and the flow is
+NOT negated (the ``flow = -flow`` inversion is Farnebäck-only,
+optical_flow_seg.py:460).  Inference pads the window to a multiple of 8,
+runs ``iters`` refinement steps, and unpads (runraft, :91-98).  Regions
+smaller than 64 px are skipped (:133-135).
+
+Backends plug in as (apply_fn, params) pairs over the Flax RAFT /
+FlowFormer models; both share this gating wrapper exactly as the reference
+duplicates its skeleton per backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from nsof_tpu.config import PipelineConfig
+from nsof_tpu.ops import roi as roi_ops
+from nsof_tpu.pipelines.segmentation import seg_head_window
+
+Array = jnp.ndarray
+
+MIN_REGION_PX = 64  # raft_seg.py:133-135
+
+
+@dataclasses.dataclass
+class DeepBackend:
+    """A deep flow model bound to parameters.
+
+    ``apply(img1, img2) -> flow [B, H, W, 2]`` on /8-padded uint8 RGB.
+    """
+
+    apply: Callable[[Array, Array], Array]
+    name: str = "raft"
+
+    @classmethod
+    def from_raft(cls, model, params, iters: int = 20):
+        def apply(img1, img2):
+            _, up = model.apply(
+                {"params": params}, img1, img2, iters=iters, test_mode=True
+            )
+            return up
+
+        return cls(apply=apply, name="raft")
+
+    @classmethod
+    def from_flowformer(cls, model, params):
+        def apply(img1, img2):
+            return model.apply({"params": params}, img1, img2)[-1]
+
+        return cls(apply=apply, name="flowformer")
+
+
+def resize_third(img: Array) -> Array:
+    """The deep pipelines' 1/3 input resize (raft_seg.py:62-72)."""
+    h, w = img.shape[-3:-1]
+    nh, nw = h // 3, w // 3
+    return jax.image.resize(
+        img, img.shape[:-3] + (nh, nw, img.shape[-1]), "bilinear",
+        antialias=False,
+    )
+
+
+def _pad8(x: Array):
+    h, w = x.shape[1:3]
+    ph = (-h) % 8
+    pw = (-w) % 8
+    pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    return jnp.pad(x, pads, mode="edge"), pads
+
+
+def deep_roi_flow_step(
+    mem_u8: Array,
+    prev_rgb: Array,
+    next_rgb: Array,
+    cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """One ROI-gated deep-flow step on already 1/3-resized [H, W, 3] frames.
+
+    Uses the merged FLAG=2 box scaled by memsize/3; runs the backend on a
+    fixed window padded to /8; scatters into a zero flow field; applies
+    the seg head (no Farnebäck inversion).
+    """
+    h, w = prev_rgb.shape[:2]
+    roi_cfg = dataclasses.replace(
+        cfg.roi, memsize=max(cfg.roi.memsize // 3, 1)
+    )
+    r = roi_ops.roi_boxes(mem_u8, h, w, roi_cfg)
+    box = r["merged"]
+    wide = (box[2] - box[0]) >= MIN_REGION_PX
+    tall = (box[3] - box[1]) >= MIN_REGION_PX
+    active = r["any_active"] & wide & tall
+
+    wh = cfg.window_h or h
+    ww = cfg.window_w or w
+    origin = roi_ops.window_origin(box, wh, ww, h, w)
+    p_win = roi_ops.crop_window(prev_rgb, origin, wh, ww)
+    n_win = roi_ops.crop_window(next_rgb, origin, wh, ww)
+
+    p_pad, pads = _pad8(p_win[None])
+    n_pad, _ = _pad8(n_win[None])
+    flow_pad = backend.apply(p_pad, n_pad)
+    t, b_, l, r_ = pads[1][0], pads[1][1], pads[2][0], pads[2][1]
+    flow_win = flow_pad[0, t : t + wh, l : l + ww]
+
+    inbox = roi_ops.window_box_mask(box, origin, wh, ww) & active
+    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+    flow = roi_ops.scatter_window(
+        jnp.zeros((h, w, 2), jnp.float32), flow_win, box, origin
+    )
+    mask_win = seg_head_window(flow_win, inbox, cfg)
+    mask = roi_ops.scatter_window(
+        jnp.zeros((h, w), jnp.uint8), mask_win, box, origin
+    )
+    return {
+        "flow": flow,
+        "mask": mask,
+        "box": box,
+        "any_active": active,
+        "region_pct": roi_ops.region_percentage(box, h, w),
+    }
+
+
+def deep_full_flow_step(
+    prev_rgb: Array, next_rgb: Array, cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """Full-frame baseline for the deep pipelines."""
+    h, w = prev_rgb.shape[:2]
+    p_pad, pads = _pad8(prev_rgb[None])
+    n_pad, _ = _pad8(next_rgb[None])
+    flow_pad = backend.apply(p_pad, n_pad)
+    t, l = pads[1][0], pads[2][0]
+    flow = flow_pad[0, t : t + h, l : l + w]
+    inbox = jnp.ones((h, w), bool)
+    mask = seg_head_window(flow, inbox, cfg)
+    return {"flow": flow, "mask": mask}

@@ -1,0 +1,98 @@
+"""ROI-gated deep-backend pipeline tests (raft_seg.py semantics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsof_tpu.models.raft import RAFT, RaftConfig
+from nsof_tpu.pipelines.deep_flow import (
+    DeepBackend,
+    deep_full_flow_step,
+    deep_roi_flow_step,
+    resize_third,
+)
+from tests.conftest import REFERENCE_DATA, requires_reference_data
+
+
+@pytest.fixture(scope="module")
+def raft_backend():
+    model = RAFT(RaftConfig(small=True, iters=2))
+    dummy = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy, iters=1)[
+        "params"
+    ]
+    return DeepBackend.from_raft(model, params, iters=2)
+
+
+def test_resize_third_shape():
+    img = jnp.zeros((1, 160, 160, 3))
+    out = resize_third(img)
+    assert out.shape == (1, 53, 53, 3)
+
+
+@requires_reference_data
+def test_deep_roi_step_on_scene(raft_backend):
+    from nsof_tpu.data import load_scene
+
+    scene = load_scene(REFERENCE_DATA, "tabletennis", max_frames=8)
+    cfg = scene.cfg
+    # deep path works at 1/3 res → configure window to resized dims
+    h3 = scene.cfg.image_h // 3
+    w3 = scene.cfg.image_w // 3
+    cfg = dataclasses.replace(cfg, image_h=h3, image_w=w3,
+                              window_h=h3, window_w=w3)
+    i = 3
+    mem2, _, _ = scene.pair_inputs(i)
+    prev = np.asarray(
+        resize_third(jnp.asarray(scene.frames_bgr[i][None]))
+    )[0].astype(np.uint8)
+    nxt = np.asarray(
+        resize_third(jnp.asarray(scene.frames_bgr[i + 1][None]))
+    )[0].astype(np.uint8)
+    out = deep_roi_flow_step(mem2, jnp.asarray(prev), jnp.asarray(nxt), cfg,
+                             raft_backend)
+    assert out["flow"].shape == (h3, w3, 2)
+    assert np.isfinite(np.asarray(out["flow"])).all()
+    mask = np.asarray(out["mask"])
+    assert set(np.unique(mask)) <= {0, 255}
+    # flow zero outside the box (scatter-into-zeros semantics)
+    if bool(out["any_active"]):
+        x0, y0, x1, y1 = np.asarray(out["box"])
+        fl = np.asarray(out["flow"]).copy()
+        fl[y0:y1, x0:x1] = 0
+        np.testing.assert_allclose(fl, 0)
+
+
+def test_deep_full_step(raft_backend):
+    cfg_like = dataclasses.replace(
+        __import__("nsof_tpu.config", fromlist=["DATASETS"]).DATASETS[
+            "tabletennis"
+        ],
+        image_h=53, image_w=53, window_h=53, window_w=53,
+    )
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.integers(0, 255, (53, 53, 3)), jnp.uint8)
+    nxt = jnp.asarray(rng.integers(0, 255, (53, 53, 3)), jnp.uint8)
+    out = deep_full_flow_step(prev, nxt, cfg_like, raft_backend)
+    assert out["flow"].shape == (53, 53, 2)
+
+
+def test_min_region_skip(raft_backend):
+    """Regions below 64 px are skipped (raft_seg.py:133-135)."""
+    from nsof_tpu.config import DATASETS
+
+    cfg = dataclasses.replace(
+        DATASETS["tabletennis"], image_h=120, image_w=120,
+        window_h=120, window_w=120,
+    )
+    # single active cell → box ≈ memsize/3 + extends ≈ 43 px < 64 → inactive
+    mem = np.zeros((16, 16), np.uint8)
+    mem[4, 4] = 255
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.integers(0, 255, (120, 120, 3)), jnp.uint8)
+    out = deep_roi_flow_step(mem, img, img, cfg, raft_backend)
+    assert not bool(out["any_active"])
+    np.testing.assert_allclose(np.asarray(out["flow"]), 0.0)
