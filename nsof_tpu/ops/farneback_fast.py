@@ -12,9 +12,14 @@ vmaps single images, leaving two TPU-hostile patterns:
    for displacements with |d| ≤ ``warp_radius`` at each pyramid level and
    clamped beyond, i.e. total representable motion ≈ radius·2^levels px.
 
-Numerics match the exact path to sub-0.01 px wherever per-level
-displacements stay within the radius (tested); the exact path remains the
-reference for OpenCV parity.
+Accuracy contract (measured vs the exact path at radius 3, 256×384):
+~0.02 px mean for motions within the radius, ~0.4 px at 2× the radius
+(the clamped linearisation point extrapolates through the quadratic
+model), unusable beyond ~3–4× — because, like OpenCV, every pyramid level
+warps by the FULL flow in that level's pixels, so the finest level needs
+reach equal to the full motion.  Pick ``warp_radius`` ≥ expected per-frame
+motion in pixels (cost grows as (2r+2)²) or use the exact path
+(:mod:`nsof_tpu.ops.farneback`) for unbounded motion.
 """
 
 from __future__ import annotations
@@ -135,8 +140,13 @@ def update_matrices_fast(
 ) -> Array:
     """[H, W, B, 5] expansions + [H, W, B, 2] flow → M [H, W, B, 5]."""
     h, w = r0.shape[:2]
-    dx = flow[..., 0]
-    dy = flow[..., 1]
+    # The warp reach is bounded by ``radius``; linearise about the CLAMPED
+    # displacement (a valid Farnebäck update point) so the A·d0 term stays
+    # consistent with where r1 was actually sampled — each iteration then
+    # extends the effective reach by `radius` instead of capping total
+    # motion at `radius`.
+    dx = jnp.clip(flow[..., 0], -radius, radius)
+    dy = jnp.clip(flow[..., 1], -radius, radius)
     samp = _warp_select(r1, dx, dy, radius)
 
     r4 = (r0[..., 2] + samp[..., 2]) * 0.5
@@ -192,6 +202,8 @@ def _update_matrices_kernel(
     )
     copy.start()
 
+    # clamped displacement used BOTH for sampling and the A·d0 term —
+    # see update_matrices_fast for why
     dx = jnp.clip(dx_ref[...], -radius, radius)
     dy = jnp.clip(dy_ref[...], -radius, radius)
     copy.wait()
@@ -311,6 +323,97 @@ def update_matrices_pallas(
     return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
+def _box_solve_kernel(mp_ref, out_ref, scratch, sem, *, m, halo, th, tw,
+                      scale):
+    """Pallas kernel: box-smooth the 5-channel system and solve the 2×2
+    flow equations, all from one VMEM-resident slab — the box sums never
+    round-trip HBM."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        mp_ref.at[
+            :,
+            pl.ds(i * th, th + 2 * halo),
+            pl.ds(j * tw, tw + 2 * halo),
+            pl.ds(k * 128, 128),
+        ],
+        scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    off = halo - m
+    sums = []
+    for c in range(5):
+        vert = None
+        for dy in range(2 * m + 1):
+            sl = scratch[c, off + dy : off + dy + th, :, :]
+            vert = sl if vert is None else vert + sl
+        horiz = None
+        for dx in range(2 * m + 1):
+            sl = vert[:, off + dx : off + dx + tw, :]
+            horiz = sl if horiz is None else horiz + sl
+        sums.append(horiz * scale)
+
+    g11, g12, g22, h1, h2 = sums
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    out_ref[0] = (g11 * h2 - g12 * h1) * idet  # dx
+    out_ref[1] = (g22 * h1 - g12 * h2) * idet  # dy
+
+
+def box_solve_pallas(m_arr: Array, winsize: int) -> Array:
+    """[H, W, B, 5] system → [H, W, B, 2] flow via the fused kernel."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, b, _ = m_arr.shape
+    m = winsize // 2
+    if b % 128 != 0 or m > 8:
+        ms = _box_sum_dw(m_arr, m) * (1.0 / (winsize * winsize))
+        g11, g12, g22, h1, h2 = (ms[..., i] for i in range(5))
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        return jnp.stack(
+            [(g11 * h2 - g12 * h1) * idet, (g22 * h1 - g12 * h2) * idet],
+            axis=-1,
+        )
+    halo = 8  # covers m ≤ 8 with sublane-aligned slabs
+    th = 8
+    tw = min(64, w)
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    mc = jnp.moveaxis(m_arr, -1, 0)
+    mp = jnp.pad(
+        mc,
+        ((0, 0), (halo, hp - h + halo), (halo, wp - w + halo), (0, 0)),
+        mode="edge",
+    )
+    kernel = functools.partial(
+        _box_solve_kernel, m=m, halo=halo, th=th, tw=tw,
+        scale=1.0 / (winsize * winsize),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw, b // 128),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (2, th, tw, 128), lambda i, j, k: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, hp, wp, b), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, th + 2 * halo, tw + 2 * halo, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(mp)
+    return jnp.moveaxis(out[:, :h, :w], 0, -1)
+
+
 def _box_sum_dw(x: Array, m: int) -> Array:
     """[H, W, B*] box sum (2m+1)² with replicate borders, depthwise."""
     k = np.ones(2 * m + 1, np.float32)
@@ -321,16 +424,20 @@ def _box_sum_dw(x: Array, m: int) -> Array:
 
 
 def update_flow_blur_fast(r0, r1, flow, m, winsize: int, radius: int,
-                          update_mats: bool, update_fn=None):
-    half = winsize // 2
-    scale = 1.0 / (winsize * winsize)
-    ms = _box_sum_dw(m, half) * scale
-    g11, g12, g22, h1, h2 = (ms[..., i] for i in range(5))
-    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    flow = jnp.stack(
-        [(g11 * h2 - g12 * h1) * idet, (g22 * h1 - g12 * h2) * idet],
-        axis=-1,
-    )
+                          update_mats: bool, update_fn=None,
+                          use_pallas_solve: bool = False):
+    if use_pallas_solve:
+        flow = box_solve_pallas(m, winsize)
+    else:
+        half = winsize // 2
+        scale = 1.0 / (winsize * winsize)
+        ms = _box_sum_dw(m, half) * scale
+        g11, g12, g22, h1, h2 = (ms[..., i] for i in range(5))
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        flow = jnp.stack(
+            [(g11 * h2 - g12 * h1) * idet, (g22 * h1 - g12 * h2) * idet],
+            axis=-1,
+        )
     if update_mats:
         m = (update_fn or update_matrices_fast)(r0, r1, flow, radius)
     return flow, m
@@ -433,5 +540,6 @@ def farneback_fast(
                 r0, r1, flow, m, params.winsize, warp_radius,
                 update_mats=i < params.iterations - 1,
                 update_fn=update_fn,
+                use_pallas_solve=kernel_mode == "pallas",
             )
     return flow.transpose(2, 0, 1, 3)  # [B, H, W, 2]

@@ -120,6 +120,27 @@ def seg_batch(mem_u8, prev_gray, next_gray, cfg: PipelineConfig):
     )
 
 
+def seg_head_window_batch(
+    flow_win: Array, inbox: Array, cfg: PipelineConfig
+) -> Array:
+    """Batched seg head in batch-in-lanes layout: [B, h, w, 2] flow +
+    [B, h, w] mask → [B, h, w] uint8 {0,255}.  Same semantics as
+    :func:`seg_head_window` (crop-border emulation via re-masking) but the
+    morphology runs as log-shift window maxes on [h, w, B] — no 100-tap
+    convs (see nsof_tpu.ops.morphology_fast)."""
+    from nsof_tpu.ops import morphology_fast as mf
+
+    mag2 = flow_win[..., 0] ** 2 + flow_win[..., 1] ** 2
+    x = ((mag2 > cfg.head.seg_th**2) & inbox).transpose(1, 2, 0)  # [h,w,B]
+    ib = inbox.transpose(1, 2, 0)
+    se = morph.ellipse_se(cfg.head.morph_ksize, cfg.head.morph_ksize)
+    for _ in range(cfg.head.morph_iters):
+        x = mf.dilate_binary_hwb(x & ib, se)
+        x = mf.erode_binary_hwb(x | ~ib, se)
+    x = x & ib
+    return jnp.where(x.transpose(2, 0, 1), 255, 0).astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "warp_radius", "kernel_mode")
 )
@@ -163,9 +184,7 @@ def seg_batch_fast(
     inbox = inbox & active[:, None, None]
     flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
 
-    mask_win = jax.vmap(
-        lambda f, ib: seg_head_window(f, ib, cfg)
-    )(flow_win, inbox)
+    mask_win = seg_head_window_batch(flow_win, inbox, cfg)
     mask = jax.vmap(
         lambda mw, bx, oy, ox: roi_ops.scatter_window(
             jnp.zeros((h, w), jnp.uint8), mw, bx, (oy, ox)
