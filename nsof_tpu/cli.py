@@ -157,6 +157,36 @@ def cmd_framesim(args) -> int:
     return 0
 
 
+def cmd_flow(args) -> int:
+    """Folder flow inference + Middlebury color images (the RAFT demo.py
+    equivalent, with the Farnebäck backend by default)."""
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsof_tpu.ops.farneback import PRESETS, FarnebackParams, farneback
+    from nsof_tpu.utils.flow_viz import flow_to_image
+
+    folder = pathlib.Path(args.frames)
+    files = sorted(
+        [*folder.glob("*.jpg"), *folder.glob("*.png")],
+        key=lambda f: int(f.stem) if f.stem.isdigit() else f.stem,
+    )
+    out_dir = pathlib.Path(args.out or folder.parent / "flow_viz")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    params = PRESETS.get(args.preset, FarnebackParams())
+    n = 0
+    for f1, f2 in zip(files[:-1], files[1:]):
+        g1 = cv2.imread(str(f1), cv2.IMREAD_GRAYSCALE)
+        g2 = cv2.imread(str(f2), cv2.IMREAD_GRAYSCALE)
+        flow = np.asarray(farneback(jnp.asarray(g1), jnp.asarray(g2), params))
+        img = np.asarray(flow_to_image(jnp.asarray(flow), convert_to_bgr=True))
+        cv2.imwrite(str(out_dir / f"flow_{f1.stem}.png"), img)
+        n += 1
+    print(f"{n} flow visualisations -> {out_dir}")
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from nsof_tpu.utils.visualize import visualize_npz
 
@@ -205,6 +235,12 @@ def main(argv=None) -> int:
     p.add_argument("--region", default=None, help="y0,x0,y1,x1 inclusive")
     p.add_argument("--out", default=None)
 
+    p = sub.add_parser("flow")
+    p.add_argument("--frames", required=True, help="folder of frames")
+    p.add_argument("--preset", default="grasp",
+                   help="farneback preset: grasp|tabletennis|autodriving|uav")
+    p.add_argument("--out", default=None)
+
     p = sub.add_parser("visualize")
     p.add_argument("npz")
     p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
@@ -223,6 +259,8 @@ def main(argv=None) -> int:
         return cmd_eventsim(args)
     if args.cmd == "framesim":
         return cmd_framesim(args)
+    if args.cmd == "flow":
+        return cmd_flow(args)
     return cmd_visualize(args)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -127,7 +128,12 @@ def conductance_to_gray(g: Array) -> Array:
     Non-positive inputs map to 0 (the reference relies on numpy emitting
     NaN under errstate suppression; we make the behaviour explicit).
     """
-    g = jnp.asarray(g, jnp.float64 if g.dtype == jnp.float64 else jnp.float32)
+    # float64 only when x64 mode is enabled; conductances (1e-11..1e-5 S)
+    # are well inside float32 range and the output is quantised to uint8
+    if not jax.config.jax_enable_x64:
+        g = jnp.asarray(g, jnp.float32)
+    else:
+        g = jnp.asarray(g)
     logg = jnp.log10(jnp.where(g > 0, g, 1.0))
     val = jnp.where(g > 0, -3366.0 / logg - 306.0, 0.0)
     return jnp.clip(val, 0.0, 255.0).astype(jnp.uint8)

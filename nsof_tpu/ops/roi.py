@@ -161,6 +161,79 @@ def crop_window(img: Array, origin_yx, win_h: int, win_w: int) -> Array:
     )
 
 
+def crop_windows_batch(
+    frames: Array, oys: Array, oxs: Array, win_h: int, win_w: int
+) -> Array:
+    """Batched static-size window crop: [B, H, W] frames + per-sample
+    origins → [B, win_h, win_w].
+
+    vmapped ``dynamic_slice`` lowers to per-element gathers on TPU; this
+    uses a Pallas kernel whose per-sample DMA start offsets come from
+    scalar-prefetched origin arrays — one contiguous copy per sample.
+    Falls back to the vmap path off-TPU or for odd window sizes.
+
+    Mosaic requires DMA offsets aligned to the uint8 tiling (32, 128), so
+    origins are floor-rounded to those multiples and the ADJUSTED origins
+    are returned — callers must scatter with them.  Size the window with
+    ≥(32, 128) slack over the max ROI so rounding never clips the box.
+
+    Returns (windows [B, win_h, win_w], oys_adj, oxs_adj).
+    """
+    b, h, w = frames.shape
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and win_w % 128 == 0
+        and win_h % 32 == 0
+        and frames.dtype == jnp.uint8
+    )
+    if not use_pallas:
+        return (
+            jax.vmap(
+                lambda img, oy, ox: crop_window(img, (oy, ox), win_h, win_w)
+            )(frames, oys, oxs),
+            oys,
+            oxs,
+        )
+    oys = (oys // 32) * 32
+    oxs = (oxs // 128) * 128
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(oy_ref, ox_ref, frames_ref, out_ref, sem):
+        i = pl.program_id(0)
+        oy = pl.multiple_of(oy_ref[i], 32)
+        ox = pl.multiple_of(ox_ref[i], 128)
+        copy = pltpu.make_async_copy(
+            frames_ref.at[
+                i,
+                pl.ds(oy, win_h),
+                pl.ds(ox, win_w),
+            ],
+            out_ref.at[0],
+            sem,
+        )
+        copy.start()
+        copy.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, win_h, win_w), lambda i, oy, ox: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    wins = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, win_h, win_w), frames.dtype),
+    )(oys.astype(jnp.int32), oxs.astype(jnp.int32), frames)
+    return wins, oys, oxs
+
+
 def window_box_mask(box: Array, origin_yx, win_h: int, win_w: int) -> Array:
     """Boolean [win_h, win_w] mask of window pixels inside ``box``."""
     oy, ox = origin_yx

@@ -169,12 +169,15 @@ def seg_batch_fast(
     origins = jax.vmap(
         lambda bx: roi_ops.window_origin(bx, wh, ww, h, w)
     )(box)
-    p_win = jax.vmap(
-        lambda img, oy, ox: roi_ops.crop_window(img, (oy, ox), wh, ww)
-    )(prev_gray, origins[0], origins[1])
-    n_win = jax.vmap(
-        lambda img, oy, ox: roi_ops.crop_window(img, (oy, ox), wh, ww)
-    )(next_gray, origins[0], origins[1])
+    # DMA-based crops round origins down to the uint8 tile grid (32, 128);
+    # both crops and the scatter below must use the adjusted origins
+    p_win, oy, ox = roi_ops.crop_windows_batch(
+        prev_gray, origins[0], origins[1], wh, ww
+    )
+    n_win, _, _ = roi_ops.crop_windows_batch(
+        next_gray, origins[0], origins[1], wh, ww
+    )
+    origins = (oy, ox)
 
     flow_win = -farneback_fast(p_win, n_win, cfg.fb, warp_radius, kernel_mode)
 
