@@ -44,7 +44,7 @@ def main():
         cfg, roi=dataclasses.replace(cfg.roi, memsize=MEMSIZE)
     )
 
-    B = 128
+    B = 256
     n_var = 6
     rng = np.random.default_rng(0)
     base = rng.random((H + 64, W + 64)).astype(np.float32) * 255
