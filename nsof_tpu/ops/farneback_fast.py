@@ -309,7 +309,7 @@ def update_matrices_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw, 1), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((5, th, tw, bc),
                                lambda i, j, k: (0, i, j, k),
@@ -400,7 +400,7 @@ def box_solve_pallas(m_arr: Array, winsize: int) -> Array:
     out = pl.pallas_call(
         kernel,
         grid=(hp // th, wp // tw, b // 128),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (2, th, tw, 128), lambda i, j, k: (0, i, j, k),
             memory_space=pltpu.VMEM,

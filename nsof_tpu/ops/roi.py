@@ -219,7 +219,7 @@ def crop_windows_batch(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, win_h, win_w), lambda i, oy, ox: (i, 0, 0),
             memory_space=pltpu.VMEM,
