@@ -43,6 +43,25 @@ def _batched(scene: SceneData):
     return n, mem, prev, nxt
 
 
+def _map_pairs(step_fn):
+    """Batch a per-pair step with ``lax.map`` (sequential single-sample
+    bodies) rather than ``vmap``.
+
+    Rationale: on the current TPU toolchain, vmapping the exact Farnebäck
+    program at certain batch×shape combinations (e.g. pyr_scale 0.6 at
+    161×161, batch 19) segfaults the TPU worker — an XLA codegen fault we
+    bisected to the composed program, not any single op.  The
+    single-sample program is proven stable; scene replay is not the
+    throughput path (seg_batch_fast is), so sequential mapping costs
+    little and sidesteps the fault.
+    """
+
+    def run(*batched):
+        return jax.lax.map(lambda args: step_fn(*args), batched)
+
+    return run
+
+
 def run_segmentation(
     scene: SceneData, csv_path: Optional[str] = None
 ) -> SceneResult:
@@ -51,10 +70,10 @@ def run_segmentation(
     n, mem, prev, nxt = _batched(scene)
 
     roi_fn = jax.jit(
-        jax.vmap(lambda m, p, x: seg_pipe.seg_step(m, p, x, cfg))
+        _map_pairs(lambda m, p, x: seg_pipe.seg_step(m, p, x, cfg))
     )
     full_fn = jax.jit(
-        jax.vmap(lambda p, x: seg_pipe.seg_step_full(p, x, cfg))
+        _map_pairs(lambda p, x: seg_pipe.seg_step_full(p, x, cfg))
     )
 
     t0 = time.perf_counter()
@@ -115,7 +134,7 @@ def run_tracking(scene: SceneData, csv_path: Optional[str] = None) -> SceneResul
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
     roi_fn = jax.jit(
-        jax.vmap(lambda m, p, x: trk_pipe.tracking_step(m, p, x, cfg))
+        _map_pairs(lambda m, p, x: trk_pipe.tracking_step(m, p, x, cfg))
     )
     t0 = time.perf_counter()
     out = jax.block_until_ready(roi_fn(mem, prev, nxt))
@@ -152,7 +171,7 @@ def run_prediction(scene: SceneData, csv_path: Optional[str] = None) -> SceneRes
     nxt_bgr = jnp.asarray(scene.frames_bgr[1 : n + 1])
 
     roi_fn = jax.jit(
-        jax.vmap(
+        _map_pairs(
             lambda m, p, x, f: pred_pipe.prediction_step(m, p, x, f, cfg)
         )
     )

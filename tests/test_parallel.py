@@ -38,6 +38,47 @@ def test_mesh_shapes():
     )
 
 
+def test_sharded_seg_inference_matches_single_device():
+    """shard_map'd seg_batch_fast over 8 devices == unsharded result."""
+    run_in_cpu_subprocess(
+        """
+        import dataclasses, numpy as np, jax, jax.numpy as jnp
+        from nsof_tpu.config import DATASETS
+        from nsof_tpu.parallel.mesh import make_mesh
+        from nsof_tpu.parallel.inference import make_sharded_seg_batch
+        from nsof_tpu.pipelines.segmentation import seg_batch_fast
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+        cfg = dataclasses.replace(
+            DATASETS["tabletennis"], image_h=96, image_w=128,
+            window_h=96, window_w=128,
+        )
+        cfg = dataclasses.replace(
+            cfg, roi=dataclasses.replace(cfg.roi, memsize=16)
+        )
+        rng = np.random.default_rng(0)
+        B = 8
+        mem = rng.integers(0, 256, (B, 6, 8)).astype(np.uint8)
+        prev = rng.integers(0, 256, (B, 96, 128)).astype(np.uint8)
+        nxt = rng.integers(0, 256, (B, 96, 128)).astype(np.uint8)
+
+        mesh = make_mesh(8)
+        fn = make_sharded_seg_batch(mesh, cfg, kernel_mode="xla")
+        with mesh:
+            out = fn(jnp.asarray(mem), jnp.asarray(prev), jnp.asarray(nxt))
+        ref = seg_batch_fast(
+            jnp.asarray(mem), jnp.asarray(prev), jnp.asarray(nxt), cfg,
+            3, "xla",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["mask"]), np.asarray(ref["mask"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["box"]), np.asarray(ref["box"]))
+        """,
+        timeout=1200,
+    )
+
+
 def test_sharded_batch_farneback_matches_single_device():
     """Data-parallel farneback over the mesh == single-device result."""
     run_in_cpu_subprocess(
