@@ -6,3 +6,4 @@ from nsof_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_params_conv_tp,
 )
+from nsof_tpu.parallel.inference import make_sharded_seg_batch  # noqa: F401

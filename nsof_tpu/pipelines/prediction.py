@@ -82,6 +82,52 @@ def prediction_step(
     }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "warp_radius", "kernel_mode")
+)
+def prediction_batch_fast(
+    mem_u8: Array,
+    prev_gray: Array,
+    next_gray: Array,
+    next_frame: Array,
+    cfg: PipelineConfig,
+    warp_radius: int = 3,
+    kernel_mode: str = "auto",
+) -> dict[str, Array]:
+    """Throughput prediction: batched ROI gating + fast Farnebäck + vmapped
+    region warp (same semantics as :func:`prediction_step` vmapped)."""
+    from nsof_tpu.ops.farneback_fast import farneback_fast
+
+    h, w = cfg.image_h, cfg.image_w
+    wh, ww = cfg.win_shape
+    r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)
+    box = r["merged"]
+    active = r["any_active"]
+    origins = jax.vmap(
+        lambda bx: roi_ops.window_origin(bx, wh, ww, h, w)
+    )(box)
+    p_win, oy, ox = roi_ops.crop_windows_batch(
+        prev_gray, origins[0], origins[1], wh, ww
+    )
+    n_win, _, _ = roi_ops.crop_windows_batch(
+        next_gray, origins[0], origins[1], wh, ww
+    )
+    flow_win = -farneback_fast(p_win, n_win, cfg.fb, warp_radius, kernel_mode)
+    inbox = jax.vmap(
+        lambda bx, y, x: roi_ops.window_box_mask(bx, (y, x), wh, ww)
+    )(box, oy, ox)
+    inbox = inbox & active[:, None, None]
+    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+    flow = jax.vmap(
+        lambda fw, bx, y, x: roi_ops.scatter_window(
+            jnp.zeros((h, w, 2), jnp.float32), fw, bx, (y, x)
+        )
+    )(flow_win, box, oy, ox)
+    box_eff = jnp.where(active[:, None], box, jnp.zeros_like(box))
+    pred = jax.vmap(warp_region)(next_frame, flow, box_eff)
+    return {"pred": pred, "flow": flow, "box": box, "any_active": active}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def prediction_step_full(
     prev_gray: Array, next_gray: Array, next_frame: Array, cfg: PipelineConfig

@@ -114,6 +114,51 @@ def tracking_step(
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "warp_radius", "kernel_mode")
+)
+def tracking_batch_fast(
+    mem_u8: Array,
+    prev_gray: Array,
+    next_gray: Array,
+    cfg: PipelineConfig,
+    warp_radius: int = 3,
+    kernel_mode: str = "auto",
+) -> dict[str, Array]:
+    """Throughput tracking: batched ROI gating + fast Farnebäck + vmapped
+    head (same semantics as :func:`tracking_step` vmapped; see
+    farneback_fast for the flow accuracy contract)."""
+    from nsof_tpu.ops.farneback_fast import farneback_fast
+
+    h, w = cfg.image_h, cfg.image_w
+    wh, ww = cfg.win_shape
+    r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)
+    box = r["merged"]
+    active = r["any_active"]
+    origins = jax.vmap(
+        lambda bx: roi_ops.window_origin(bx, wh, ww, h, w)
+    )(box)
+    p_win, oy, ox = roi_ops.crop_windows_batch(
+        prev_gray, origins[0], origins[1], wh, ww
+    )
+    n_win, _, _ = roi_ops.crop_windows_batch(
+        next_gray, origins[0], origins[1], wh, ww
+    )
+    flow_win = -farneback_fast(p_win, n_win, cfg.fb, warp_radius, kernel_mode)
+    inbox = jax.vmap(
+        lambda bx, y, x: roi_ops.window_box_mask(bx, (y, x), wh, ww)
+    )(box, oy, ox)
+    inbox = inbox & active[:, None, None]
+    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+    out = jax.vmap(
+        lambda f, ib, y, x: tracking_head_window(f, ib, (y, x), cfg)
+    )(flow_win, inbox, oy, ox)
+    out["valid"] = out["valid"] & active[:, None]
+    out["box"] = box
+    out["any_active"] = active
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def tracking_step_full(
     prev_gray: Array, next_gray: Array, cfg: PipelineConfig
