@@ -76,6 +76,8 @@ def bin_events(
     height: Optional[int] = None,
     width: Optional[int] = None,
     use_native: bool = True,
+    t_origin: Optional[int] = None,
+    n_slices: Optional[int] = None,
 ) -> BinnedEvents:
     """Bin an event stream into fixed-duration windows.
 
@@ -83,6 +85,10 @@ def bin_events(
     (eventsim/event_mem_sim.py:78-83): ``arange(t[0], t[-1]+slice_us,
     slice_us)`` with ``searchsorted`` — so the final partial window is kept.
     ``height``/``width`` default to ``max+1`` as in ``load_events`` (:69-75).
+
+    ``t_origin``/``n_slices`` override the window anchor and count (used by
+    the chunked long-stream driver to keep window phase continuous across
+    chunks); by default the anchor is the first event timestamp.
 
     Uses the single-pass C++ binner (nsof_tpu.native) when available;
     falls back to the numpy implementation transparently.
@@ -97,7 +103,7 @@ def bin_events(
         width = int(x.max()) + 1 if x.size else 1
     h, w = height, width
 
-    if use_native and t_us.size:
+    if use_native and t_us.size and t_origin is None and n_slices is None:
         from nsof_tpu.native import bin_events_native
 
         nat = bin_events_native(x, y, p, t_us, slice_us, h, w)
@@ -116,14 +122,21 @@ def bin_events(
             )
 
     if t_us.size == 0:
-        z = np.zeros((0, h, w), np.uint8)
-        zb = np.zeros((0, h, w), bool)
-        zt = np.zeros((0,), np.int32)
-        return BinnedEvents(z, zb, zb, zb, zt, zt, zt.astype(bool), h, w, slice_us)
+        nt0 = n_slices or 0
+        z = np.zeros((nt0, h, w), np.uint8)
+        zb = np.zeros((nt0, h, w), bool)
+        zt = np.zeros((nt0,), np.int32)
+        return BinnedEvents(z, zb, zb, zb, zt, zt,
+                            np.ones(nt0, bool), h, w, slice_us)
 
-    t0 = t_us[0]
+    t0 = t_us[0] if t_origin is None else int(t_origin)
     t_rel = (t_us - t0).astype(np.int64)
-    bounds = np.arange(0, t_rel[-1] + slice_us, slice_us, dtype=np.int64)
+    if n_slices is None:
+        bounds = np.arange(0, t_rel[-1] + slice_us, slice_us, dtype=np.int64)
+    else:
+        bounds = np.arange(
+            0, (n_slices + 1) * slice_us, slice_us, dtype=np.int64
+        )
     idx = np.searchsorted(t_rel, bounds)
     nt = len(idx) - 1
     if nt <= 0:
@@ -213,29 +226,46 @@ def _snapshot_group_scan(step_fn, carry0, inputs, t, group):
 
 
 def simulate_events(
-    binned: BinnedEvents, cfg: EventSimConfig = EventSimConfig()
+    binned: BinnedEvents,
+    cfg: EventSimConfig = EventSimConfig(),
+    initial_state: Optional[dict] = None,
+    time_offset: int = 0,
 ) -> dict[str, Array]:
     """Run the event-driven device simulation on device.
 
     Returns a dict with ``w_final`` [H, W]; ``resistances`` [S, H, W]
-    decimated snapshots; and, for version 2 'split', ``w_final_b`` /
-    ``resistances_b`` for the OFF-event array (the reference's ``*.V2_b``
-    outputs, event_mem_sim.py:293-303).  For 'magnitude' the ``_b`` entries
-    are empty arrays, matching the reference's placeholder npz.
+    decimated snapshots; ``state`` (carry for chunked continuation, see
+    :func:`simulate_events_stream`); and, for version 2 'split',
+    ``w_final_b`` / ``resistances_b`` for the OFF-event array (the
+    reference's ``*.V2_b`` outputs, event_mem_sim.py:293-303).  For
+    'magnitude' the ``_b`` entries are empty arrays, matching the
+    reference's placeholder npz.
+
+    ``initial_state`` resumes from a prior chunk's ``state``;
+    ``time_offset`` is added to the binned per-slice timestamps so the
+    refractory clocks stay in global stream time across chunks.
     """
     assert cfg.version in (1, 2)
     assert cfg.polarity in ("split", "magnitude")
     p = cfg.params
     h, w = binned.height, binned.width
     t = binned.counts.shape[0]
+    n_arrays_all = 2 if (cfg.version == 2 and cfg.polarity == "split") else 1
+    if initial_state is None:
+        w0_single = jnp.full((h, w), p.w_init, jnp.float32)
+        state0 = {
+            "w": (w0_single,) * n_arrays_all,
+            "next_ok": (jnp.zeros((h, w), jnp.int32),) * n_arrays_all,
+        }
+    else:
+        state0 = initial_state
     if t == 0:
-        w0 = jnp.full((h, w), p.w_init, jnp.float32)
         empty = jnp.zeros((0, h, w), jnp.float32)
-        return {"w_final": w0, "resistances": empty,
-                "w_final_b": jnp.zeros((0,)), "resistances_b": jnp.zeros((0,))}
+        return {"w_final": state0["w"][0], "resistances": empty,
+                "w_final_b": jnp.zeros((0,)),
+                "resistances_b": jnp.zeros((0,)), "state": state0}
     group = max(1, t // cfg.n_snapshots)
 
-    w0 = jnp.full((h, w), p.w_init, jnp.float32)
     valid = jnp.asarray(binned.valid)
 
     if cfg.version == 1:
@@ -249,18 +279,21 @@ def simulate_events(
             snap = resistance_exp(w_new, p) if want_snap else None
             return w_new, snap
 
-        w_final, res = _snapshot_group_scan(step, w0, inputs, t, group)
+        w_final, res = _snapshot_group_scan(
+            step, state0["w"][0], inputs, t, group
+        )
         return {
             "w_final": w_final,
             "resistances": res,
             "w_final_b": jnp.zeros((0,), jnp.float32),
             "resistances_b": jnp.zeros((0,), jnp.float32),
+            "state": {"w": (w_final,), "next_ok": state0["next_ok"]},
         }
 
     # ── version 2 ─────────────────────────────────────────────────────────
     split = cfg.polarity == "split"
-    t_first = jnp.asarray(binned.t_first)
-    t_last = jnp.asarray(binned.t_last)
+    t_first = jnp.asarray(binned.t_first) + jnp.int32(time_offset)
+    t_last = jnp.asarray(binned.t_last) + jnp.int32(time_offset)
     if split:
         masks = (jnp.asarray(binned.on_any), jnp.asarray(binned.off_any))
     else:
@@ -273,10 +306,7 @@ def simulate_events(
         "valid": valid,
     }
     n_arrays = len(masks)
-    carry0 = {
-        "w": (w0,) * n_arrays,
-        "next_ok": (jnp.zeros((h, w), jnp.int32),) * n_arrays,
-    }
+    carry0 = state0
 
     def step(carry, inp, want_snap):
         new_w, new_next, snaps = [], [], []
@@ -297,7 +327,8 @@ def simulate_events(
         return carry, tuple(snaps) if want_snap else None
 
     carry, snaps = _snapshot_group_scan(step, carry0, inputs, t, group)
-    out = {"w_final": carry["w"][0], "resistances": snaps[0]}
+    out = {"w_final": carry["w"][0], "resistances": snaps[0],
+           "state": carry}
     if split:
         out["w_final_b"] = carry["w"][1]
         out["resistances_b"] = snaps[1]
@@ -305,6 +336,80 @@ def simulate_events(
         out["w_final_b"] = jnp.zeros((0,), jnp.float32)
         out["resistances_b"] = jnp.zeros((0,), jnp.float32)
     return out
+
+
+def simulate_events_stream(
+    x: np.ndarray,
+    y: np.ndarray,
+    p: np.ndarray,
+    t_us: np.ndarray,
+    slice_us: int = 1000,
+    cfg: EventSimConfig = EventSimConfig(),
+    chunk_slices: int = 4096,
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+) -> dict[str, Array]:
+    """Chunked long-stream simulation: bins and scans ``chunk_slices``
+    windows at a time, carrying device state (w arrays + refractory
+    timestamps) across chunks — memory stays bounded regardless of stream
+    length (the reference's decimated-snapshot strategy for hours-long
+    recordings, with the binned tensors never fully materialised).
+
+    Returns the same dict as :func:`simulate_events` with snapshots
+    concatenated across chunks.
+    """
+    import jax
+
+    if height is None:
+        height = int(np.asarray(y).max()) + 1 if len(y) else 1
+    if width is None:
+        width = int(np.asarray(x).max()) + 1 if len(x) else 1
+    t_us = np.asarray(t_us).astype(np.int64)
+    if t_us.size == 0:
+        return simulate_events(
+            bin_events(x, y, p, t_us, slice_us, height, width), cfg
+        )
+    t0 = t_us[0]
+    span = chunk_slices * slice_us
+    n_chunks = int((t_us[-1] - t0) // span) + 1
+
+    carry = None
+    res_chunks = []
+    res_b_chunks = []
+    final = None
+    x = np.asarray(x)
+    y = np.asarray(y)
+    p = np.asarray(p)
+    for ci in range(n_chunks):
+        lo = int(t0 + ci * span)
+        hi = lo + span
+        sel = (t_us >= lo) & (t_us < hi)
+        # window phase stays continuous across chunks: anchor every chunk
+        # at its own start and bin exactly chunk_slices windows
+        binned = bin_events(
+            x[sel], y[sel], p[sel], t_us[sel], slice_us, height, width,
+            t_origin=lo, n_slices=chunk_slices,
+        )
+        out = simulate_events(binned, cfg, initial_state=carry,
+                              time_offset=ci * span)
+        carry = out["state"]
+        res_chunks.append(np.asarray(out["resistances"]))
+        if cfg.version == 2 and cfg.polarity == "split":
+            res_b_chunks.append(np.asarray(out["resistances_b"]))
+        final = out
+    result = {
+        "w_final": final["w_final"],
+        "resistances": np.concatenate(res_chunks, axis=0)
+        if res_chunks
+        else np.zeros((0, height, width), np.float32),
+        "w_final_b": final["w_final_b"],
+        "resistances_b": (
+            np.concatenate(res_b_chunks, axis=0)
+            if res_b_chunks
+            else final["resistances_b"]
+        ),
+    }
+    return result
 
 
 def simulate_events_reference(

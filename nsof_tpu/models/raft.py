@@ -461,6 +461,31 @@ class RAFT(nn.Module):
         return flows_up
 
 
+def forward_interpolate(flow) -> "np.ndarray":
+    """Forward-splat a flow field onto the next frame's grid (the Sintel
+    warm-start, core/utils/utils.py:26-54): each source pixel's flow lands
+    at its displaced position and holes are filled by nearest-neighbour
+    interpolation.  Host-side numpy/scipy (used once per frame between
+    steps, not in the jit path)."""
+    import numpy as onp
+    from scipy.interpolate import griddata
+
+    h, w = flow.shape[:2]
+    dx, dy = flow[..., 0], flow[..., 1]
+    ys, xs = onp.mgrid[0:h, 0:w]
+    x1 = (xs + dx).reshape(-1)
+    y1 = (ys + dy).reshape(-1)
+    fx = dx.reshape(-1)
+    fy = dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < w) & (y1 > 0) & (y1 < h)
+    x1, y1, fx, fy = x1[valid], y1[valid], fx[valid], fy[valid]
+    if x1.size == 0:
+        return onp.zeros_like(flow)
+    fx_i = griddata((x1, y1), fx, (xs, ys), method="nearest")
+    fy_i = griddata((x1, y1), fy, (xs, ys), method="nearest")
+    return onp.stack([fx_i, fy_i], axis=-1).astype(onp.float32)
+
+
 def pad_to_multiple(img: Array, mult: int = 8) -> tuple[Array, tuple]:
     """InputPadder equivalent (core/utils/utils.py:7-24): replicate-pad H/W
     up to a multiple of ``mult``; returns (padded, (top, bottom, left,

@@ -116,6 +116,32 @@ def test_boundary_event_dropped_like_reference():
     assert b.on_any[0, 1, 1] and not b.on_any[0, 2, 2]
 
 
+@pytest.mark.parametrize("version,polarity", [(1, "split"), (2, "split")])
+def test_chunked_stream_matches_one_shot(synthetic_small, version, polarity):
+    """Chunked long-stream simulation carries state correctly: with zero
+    silent bias (idle windows are no-ops) the final state equals the
+    one-shot result regardless of chunking."""
+    from nsof_tpu.device.event_sim import simulate_events_stream
+
+    x, y, p_, t = synthetic_small
+    cfg = EventSimConfig(version=version, polarity=polarity,
+                         silent_v=0.0, n_snapshots=10)
+    one = simulate_events(bin_events(x, y, p_, t, slice_us=1000), cfg)
+    chunked = simulate_events_stream(
+        x, y, p_, t, slice_us=1000, cfg=cfg, chunk_slices=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked["w_final"]), np.asarray(one["w_final"]),
+        atol=1e-6,
+    )
+    if version == 2:
+        np.testing.assert_allclose(
+            np.asarray(chunked["w_final_b"]), np.asarray(one["w_final_b"]),
+            atol=1e-6,
+        )
+    assert chunked["resistances"].shape[0] >= one["resistances"].shape[0]
+
+
 def test_empty_stream():
     b = bin_events(
         np.array([]), np.array([]), np.array([]), np.array([]),
