@@ -1,9 +1,11 @@
-"""Scene runners: batched dual-path execution + metrics + CSV reports.
+"""Scene runners: dual-path execution + metrics + CSV reports.
 
 The reference runs a Python loop per frame pair with host OpenCV calls;
-here all pairs are stacked and the jit-compiled step is vmapped on device —
-one dispatch for the whole scene (amortised), with a dual ROI/full-frame
-comparison and the reference's CSV schema.
+here each pair runs one jit-compiled on-device program (see ``_map_pairs``
+for why replay loops on the host rather than vmapping), with a dual
+ROI/full-frame comparison and the reference's CSV schema.  For throughput
+workloads use the batched fast paths (``seg_batch_fast`` and friends) or
+the shard_map'd multi-chip runner in :mod:`nsof_tpu.parallel.inference`.
 """
 
 from __future__ import annotations
@@ -44,20 +46,24 @@ def _batched(scene: SceneData):
 
 
 def _map_pairs(step_fn):
-    """Batch a per-pair step with ``lax.map`` (sequential single-sample
-    bodies) rather than ``vmap``.
+    """Batch a per-pair step by looping the jitted single-sample program
+    on the host and stacking results.
 
-    Rationale: on the current TPU toolchain, vmapping the exact Farnebäck
-    program at certain batch×shape combinations (e.g. pyr_scale 0.6 at
-    161×161, batch 19) segfaults the TPU worker — an XLA codegen fault we
-    bisected to the composed program, not any single op.  The
-    single-sample program is proven stable; scene replay is not the
-    throughput path (seg_batch_fast is), so sequential mapping costs
-    little and sidesteps the fault.
+    Rationale: on the current TPU toolchain, both vmapping and lax.map'ing
+    the exact Farnebäck program at certain batch×shape combinations (e.g.
+    pyr_scale 0.6 at 161×161 batch 19; 1920×1080 under lax.map) fault the
+    TPU worker — XLA codegen bugs we bisected to the composed batched
+    program, not any single op.  The plain jitted per-pair program is
+    stable across every bundled scene, and scene replay is not the
+    throughput path (seg_batch_fast is), so the host loop's dispatch
+    overhead is acceptable.
     """
+    jitted = jax.jit(step_fn)
 
     def run(*batched):
-        return jax.lax.map(lambda args: step_fn(*args), batched)
+        n = batched[0].shape[0]
+        outs = [jitted(*(b[i] for b in batched)) for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
     return run
 
@@ -69,12 +75,8 @@ def run_segmentation(
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
 
-    roi_fn = jax.jit(
-        _map_pairs(lambda m, p, x: seg_pipe.seg_step(m, p, x, cfg))
-    )
-    full_fn = jax.jit(
-        _map_pairs(lambda p, x: seg_pipe.seg_step_full(p, x, cfg))
-    )
+    roi_fn = _map_pairs(lambda m, p, x: seg_pipe.seg_step(m, p, x, cfg))
+    full_fn = _map_pairs(lambda p, x: seg_pipe.seg_step_full(p, x, cfg))
 
     t0 = time.perf_counter()
     roi_out = jax.block_until_ready(roi_fn(mem, prev, nxt))
@@ -133,9 +135,7 @@ def run_tracking(scene: SceneData, csv_path: Optional[str] = None) -> SceneResul
     """Dual-path object tracking over a scene; IoU vs the GT max bbox."""
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
-    roi_fn = jax.jit(
-        _map_pairs(lambda m, p, x: trk_pipe.tracking_step(m, p, x, cfg))
-    )
+    roi_fn = _map_pairs(lambda m, p, x: trk_pipe.tracking_step(m, p, x, cfg))
     t0 = time.perf_counter()
     out = jax.block_until_ready(roi_fn(mem, prev, nxt))
     t_roi = time.perf_counter() - t0
@@ -170,10 +170,8 @@ def run_prediction(scene: SceneData, csv_path: Optional[str] = None) -> SceneRes
     nxt = jnp.asarray(scene.frames_gray[1 : n + 1])
     nxt_bgr = jnp.asarray(scene.frames_bgr[1 : n + 1])
 
-    roi_fn = jax.jit(
-        _map_pairs(
-            lambda m, p, x, f: pred_pipe.prediction_step(m, p, x, f, cfg)
-        )
+    roi_fn = _map_pairs(
+        lambda m, p, x, f: pred_pipe.prediction_step(m, p, x, f, cfg)
     )
     t0 = time.perf_counter()
     out = jax.block_until_ready(roi_fn(mem, prev, nxt, nxt_bgr))
