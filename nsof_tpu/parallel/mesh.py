@@ -24,9 +24,21 @@ def make_mesh(
     """('data', 'model') mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but the "
+                f"{devices[0].platform if devices else '?'} backend exposes "
+                f"only {len(devices)}. Either pass fewer devices, or run "
+                "under a virtual CPU mesh (JAX_PLATFORMS=cpu + XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices})."
+            )
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"make_mesh: {n} devices not divisible by "
+            f"model_parallel={model_parallel}"
+        )
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 

@@ -37,8 +37,14 @@ def create_train_state(
     image_hw: tuple[int, int] = (64, 64),
     lr: float = 4e-4,
     num_steps: int = 100_000,
+    tp_min_features: int = 128,
 ):
-    """Initialise sharded params + optimizer state on the mesh."""
+    """Initialise sharded params + optimizer state on the mesh.
+
+    ``tp_min_features`` sets the smallest out-feature dim that gets
+    tensor-sharded over 'model' (lower it for small configs so the model
+    axis is actually exercised).
+    """
     model = RAFT(cfg)
     h, w = image_hw
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -47,7 +53,7 @@ def create_train_state(
         return model.init(rng, dummy, dummy, iters=1)["params"]
 
     abstract = jax.eval_shape(init_fn, rng)
-    shardings = shard_params_conv_tp(abstract, mesh)
+    shardings = shard_params_conv_tp(abstract, mesh, min_features=tp_min_features)
     params = jax.jit(init_fn, out_shardings=shardings)(rng)
 
     tx = raft_optimizer(lr=lr, num_steps=num_steps)
