@@ -78,9 +78,7 @@ def _shift2(x: Array, ky: int, kx: int) -> Array:
     ]
 
 
-def poly_expansion_fast(img: Array, n: int, sigma: float) -> Array:
-    """[H, W, B] image → [H, W, B, 5] expansion (channels as in the exact
-    path: b_y, b_x, a_yy, a_xx, a_xy)."""
+def _poly_expansion_channels(img: Array, n: int, sigma: float):
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, sigma)
     s0 = _dw_conv1d(img, g, 0)
     s1 = _dw_conv1d(img, xg, 0)
@@ -91,16 +89,24 @@ def poly_expansion_fast(img: Array, n: int, sigma: float) -> Array:
     b4 = _dw_conv1d(s0, xxg, 1)
     b5 = _dw_conv1d(s2, g, 1)
     b6 = _dw_conv1d(s1, xg, 1)
-    return jnp.stack(
-        [
-            b2 * ig11,
-            b3 * ig11,
-            b1 * ig03 + b5 * ig33,
-            b1 * ig03 + b4 * ig33,
-            b6 * ig55,
-        ],
-        axis=-1,
-    )
+    return [
+        b2 * ig11,
+        b3 * ig11,
+        b1 * ig03 + b5 * ig33,
+        b1 * ig03 + b4 * ig33,
+        b6 * ig55,
+    ]
+
+
+def poly_expansion_fast(img: Array, n: int, sigma: float) -> Array:
+    """[H, W, B] image → [H, W, B, 5] expansion (channels as in the exact
+    path: b_y, b_x, a_yy, a_xx, a_xy)."""
+    return jnp.stack(_poly_expansion_channels(img, n, sigma), axis=-1)
+
+
+def _poly_expansion_cm(img: Array, n: int, sigma: float) -> Array:
+    """[H, W, B] image → channel-major [5, H, W, B] expansion."""
+    return jnp.stack(_poly_expansion_channels(img, n, sigma), axis=0)
 
 
 def _warp_select(r1: Array, dx: Array, dy: Array, radius: int) -> Array:
@@ -243,7 +249,7 @@ def _update_matrices_kernel(
 
 def _update_matrices_sep_kernel(
     dx_ref, dy_ref, r0_ref, bsc_ref, r1p_ref, dxp_ref, out_ref,
-    scratch, dxs, sem, sem2, *, radius, halo, th, tw,
+    scratch, dxs, sem, sem2, *, radius, halo, th, tw, hc=None,
 ):
     """Separable (two-pass) variant of :func:`_update_matrices_kernel`.
 
@@ -260,6 +266,7 @@ def _update_matrices_sep_kernel(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    hc = halo if hc is None else hc  # column halo (8-aligned DMA width)
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -267,7 +274,7 @@ def _update_matrices_sep_kernel(
         r1p_ref.at[
             :,
             pl.ds(i * th, th + 2 * halo),
-            pl.ds(j * tw, tw + 2 * halo),
+            pl.ds(j * tw, tw + 2 * hc),
             pl.ds(k * 128, 128),
         ],
         scratch,
@@ -296,7 +303,7 @@ def _update_matrices_sep_kernel(
     t_rows = [None] * 5
     for kx in range(-radius, radius + 2):
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx))
-        ox = halo + kx
+        ox = hc + kx
         for c in range(5):
             tap = scratch[c, :, ox : ox + tw, :] * wx
             t_rows[c] = tap if t_rows[c] is None else t_rows[c] + tap
@@ -325,11 +332,12 @@ def _update_matrices_sep_kernel(
     r5 = r5 * sc
     r6 = r6 * sc
 
-    out_ref[0] = r4 * r4 + r6 * r6
-    out_ref[1] = (r4 + r5) * r6
-    out_ref[2] = r5 * r5 + r6 * r6
-    out_ref[3] = r4 * r2 + r6 * r3
-    out_ref[4] = r6 * r2 + r5 * r3
+    mdt = out_ref.dtype
+    out_ref[0] = (r4 * r4 + r6 * r6).astype(mdt)
+    out_ref[1] = ((r4 + r5) * r6).astype(mdt)
+    out_ref[2] = (r5 * r5 + r6 * r6).astype(mdt)
+    out_ref[3] = (r4 * r2 + r6 * r3).astype(mdt)
+    out_ref[4] = (r6 * r2 + r5 * r3).astype(mdt)
 
 
 def update_matrices_pallas(
@@ -562,6 +570,293 @@ def box_solve_pallas(m_arr: Array, winsize: int) -> Array:
     return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
+def _update_matrices_sep_cm(
+    dxt: Array, dyt: Array, r0t: Array, bscp: Array, r1p: Array,
+    dxrp: Array, radius: int, th: int, tw: int,
+    out_dtype=jnp.float32,
+) -> Array:
+    """Channel-major separable update on pre-padded operands (no per-call
+    layout moves): r0t [5,hp,wp,b], r1p [5,hp+2e,wp+16,b] (row halo
+    e=radius+1, col halo 8 for DMA alignment), dxt/dyt [hp,wp,b],
+    dxrp [hp+2e,wp,b], bscp [hp,wp,1]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, hp, wp, b = r0t.shape
+    e = radius + 1
+    hc = 8
+    kernel = functools.partial(
+        _update_matrices_sep_kernel, radius=radius, halo=e, th=th, tw=tw,
+        hc=hc,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw, b // 128),
+        in_specs=[
+            pl.BlockSpec((th, tw, 128), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw, 128), lambda i, j, k: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, th, tw, 128), lambda i, j, k: (0, i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw, 1), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((5, th, tw, 128),
+                               lambda i, j, k: (0, i, j, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, hp, wp, b), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, th + 2 * e, tw + 2 * hc, 128), jnp.float32),
+            pltpu.VMEM((th + 2 * e, tw, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(dxt, dyt, r0t, bscp, r1p, dxrp)
+
+
+def _win_sum_tree(a, axis: int, n_out: int, off0: int, win: int):
+    """Log-tree sliding-window sum: out[i] = Σ_{t<win} a[off0+i+t] along
+    ``axis``; O(log win) array adds instead of ``win``."""
+
+    def sl(x, start, length):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + length)
+        return x[tuple(idx)]
+
+    levels = [a]
+    step = 1
+    while step * 2 <= win:
+        prev = levels[-1]
+        ext = prev.shape[axis] - step
+        levels.append(sl(prev, 0, ext) + sl(prev, step, ext))
+        step *= 2
+    out = None
+    pos = off0
+    for kbit in range(len(levels) - 1, -1, -1):
+        if win & (1 << kbit):
+            part = sl(levels[kbit], pos, n_out)
+            out = part if out is None else out + part
+            pos += 1 << kbit
+    return out
+
+
+def _fused_box_update_kernel(
+    bsc_ref, mp_ref, r1p_ref, r0p_ref, out_ref, mslab, r1slab, r0slab,
+    sem, sem2, sem3, *, radius, m, th, tw, pp, scale, emit,
+):
+    """Per-iteration Farnebäck step in ONE kernel: box-smooth the previous
+    5-channel system M, solve the 2×2 flow equations, separable-warp r1 by
+    that flow, and emit the NEXT system M' — the intermediate flow never
+    touches HBM (it exists only on the (th+2(r+1), tw) tile).
+
+    ``emit='matrices'``: full step, writes M' (5ch).  Needs flow at the
+    tile's ±(r+1) row halo for warp pass 1, so the box solve runs on
+    th+2(r+1) rows and ``pp`` (the M padding) must be m+radius+1.
+    ``emit='flow'``: final iteration, just box+solve, writes flow (2ch);
+    ``pp`` = m.
+
+    M is stored bf16 in HBM (halves the dominant DMA stream; box sums
+    accumulate in f32, ~0.4 % relative input noise — inside the fast
+    path's accuracy contract).  r0/r1 stay f32: the b_y/b_x terms are
+    differences of nearly-equal expansions and would cancel in bf16.
+    The r0/r1 slab DMAs are issued up front and their latency hides
+    behind the box+solve compute.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    e = radius + 1
+    mc = 8  # column halo of the M pad (16-aligned bf16 DMA width; mc >= m)
+    ec = 8  # column halo of the r1 pad
+    n_flow_rows = th + 2 * e if emit == "matrices" else th
+
+    copy = pltpu.make_async_copy(
+        mp_ref.at[
+            :,
+            pl.ds(i * th, th + 2 * pp),
+            pl.ds(j * tw, tw + 2 * mc),
+            pl.ds(k * 128, 128),
+        ],
+        mslab,
+        sem,
+    )
+    copy.start()
+    if emit == "matrices":
+        copy2 = pltpu.make_async_copy(
+            r1p_ref.at[
+                :,
+                pl.ds(i * th, th + 2 * e),
+                pl.ds(j * tw, tw + 2 * ec),
+                pl.ds(k * 128, 128),
+            ],
+            r1slab,
+            sem2,
+        )
+        copy2.start()
+        copy3 = pltpu.make_async_copy(
+            r0p_ref.at[
+                :,
+                pl.ds(i * th, th),
+                pl.ds(j * tw, tw),
+                pl.ds(k * 128, 128),
+            ],
+            r0slab,
+            sem3,
+        )
+        copy3.start()
+    copy.wait()
+
+    # box sums + 2×2 solve on the extended row window.
+    # Slab row 0 = absolute row y0 − pp; flow row f = absolute
+    # y0 − (pp − m) + f, so its (2m+1) window starts at slab row f.
+    # Slab col 0 = absolute x0 − mc; flow col x's window starts at
+    # slab col x + (mc − m).
+    sums = []
+    for c in range(5):
+        vert = _win_sum_tree(
+            mslab[c].astype(jnp.float32), 0, n_flow_rows, 0, 2 * m + 1
+        )
+        sums.append(
+            _win_sum_tree(vert, 1, tw, mc - m, 2 * m + 1) * scale
+        )
+    g11, g12, g22, h1, h2 = sums
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    dxg = (g11 * h2 - g12 * h1) * idet
+    dyg = (g22 * h1 - g12 * h2) * idet
+
+    if emit == "flow":
+        out_ref[0] = dxg
+        out_ref[1] = dyg
+        return
+
+    copy2.wait()
+    copy3.wait()
+    # clamped displacement used BOTH for sampling and the A·d0 term
+    dxh = jnp.clip(dxg, -radius, radius)  # all th+2e rows (warp pass 1)
+    dx = dxh[e : e + th]
+    dy = jnp.clip(dyg[e : e + th], -radius, radius)
+
+    # separable warp (see _update_matrices_sep_kernel for the contract)
+    t_rows = [None] * 5
+    for kx in range(-radius, radius + 2):
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx))
+        ox = ec + kx
+        for c in range(5):
+            tap = r1slab[c, :, ox : ox + tw, :] * wx
+            t_rows[c] = tap if t_rows[c] is None else t_rows[c] + tap
+    acc = [None] * 5
+    for ky in range(-radius, radius + 2):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        oy = e + ky
+        for c in range(5):
+            tap = t_rows[c][oy : oy + th, :, :] * wy
+            acc[c] = tap if acc[c] is None else acc[c] + tap
+
+    r4 = (r0slab[2] + acc[2]) * 0.5
+    r5 = (r0slab[3] + acc[3]) * 0.5
+    r6 = (r0slab[4] + acc[4]) * 0.25
+    b_y = (r0slab[0] - acc[0]) * 0.5
+    b_x = (r0slab[1] - acc[1]) * 0.5
+    r2 = b_y + r4 * dy + r6 * dx
+    r3 = b_x + r6 * dy + r5 * dx
+
+    sc = bsc_ref[...]
+    r2 = r2 * sc
+    r3 = r3 * sc
+    r4 = r4 * sc
+    r5 = r5 * sc
+    r6 = r6 * sc
+
+    mdt = out_ref.dtype
+    out_ref[0] = (r4 * r4 + r6 * r6).astype(mdt)
+    out_ref[1] = ((r4 + r5) * r6).astype(mdt)
+    out_ref[2] = (r5 * r5 + r6 * r6).astype(mdt)
+    out_ref[3] = (r4 * r2 + r6 * r3).astype(mdt)
+    out_ref[4] = (r6 * r2 + r5 * r3).astype(mdt)
+
+
+def _fused_box_update_cm(
+    m_arr: Array,
+    r0t: Array,
+    bscp: Array,
+    r1p: Array,
+    winsize: int,
+    radius: int,
+    emit: str,
+    th: int,
+    tw: int,
+) -> Array:
+    """Channel-major fused iteration step.
+
+    m_arr [5,hp,wp,b] (tile-padded, f32 or bf16), r0t [5,hp,wp,b],
+    bscp [hp,wp,1], r1p [5,hp+2e,wp+16,b] with e=radius+1 (col halo 8
+    for DMA alignment).  Returns M' [5,hp,wp,b] in m_arr's dtype
+    (emit='matrices') or f32 flow [2,hp,wp,b] (emit='flow')."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, hp, wp, b = m_arr.shape
+    mm = winsize // 2
+    e = radius + 1
+    pp = mm + e if emit == "matrices" else mm
+    mdt = m_arr.dtype
+    if mdt == jnp.bfloat16:
+        assert tw % 16 == 0, tw  # bf16 DMA slice width must be 16-aligned
+    mp = jnp.pad(
+        m_arr, ((0, 0), (pp, pp), (8, 8), (0, 0)), mode="edge"
+    )
+    kernel = functools.partial(
+        _fused_box_update_kernel,
+        radius=radius, m=mm, th=th, tw=tw, pp=pp,
+        scale=1.0 / (winsize * winsize), emit=emit,
+    )
+    if emit == "matrices":
+        n_out_ch = 5
+        out_dtype = mdt
+        r1_slab = (5, th + 2 * e, tw + 16, 128)
+        r0_slab = (5, th, tw, 128)
+    else:
+        # flow emit touches neither r0 nor r1 — feed 1-element dummies
+        n_out_ch = 2
+        out_dtype = jnp.float32
+        r1p = jnp.zeros((1,), jnp.float32)
+        r0t = jnp.zeros((1,), jnp.float32)
+        r1_slab = (1,)
+        r0_slab = (1,)
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw, b // 128),
+        in_specs=[
+            pl.BlockSpec((th, tw, 1), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_out_ch, th, tw, 128), lambda i, j, k: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_out_ch, hp, wp, b), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, th + 2 * pp, tw + 16, 128), mdt),
+            pltpu.VMEM(r1_slab, jnp.float32),
+            pltpu.VMEM(r0_slab, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(bscp, mp, r1p, r0t)
+    return out
+
+
 def _box_sum_dw(x: Array, m: int) -> Array:
     """[H, W, B*] box sum (2m+1)² with replicate borders, depthwise."""
     k = np.ones(2 * m + 1, np.float32)
@@ -620,6 +915,103 @@ def _resize_hwb(img: Array, out_h: int, out_w: int) -> Array:
     )
 
 
+# fused-path spatial tile; rows are un-tiled in [5,H,W,B] layout so th is
+# free, tw rides the 8-sublane dimension (16-aligned for bf16 M DMAs).
+# (16, 32) keeps the per-tile VMEM (bf16 M slab + f32 r0/r1 slabs +
+# out blocks + win_sum temporaries) ≈ 10-11 MB.
+FUSED_TH = 16
+FUSED_TW = 32
+
+
+def _farneback_fast_fused(
+    prev: Array, next_: Array, params: FarnebackParams, radius: int,
+    m_dtype=jnp.bfloat16,
+) -> Array:
+    """Fused per-iteration pipeline: channel-major [5,H,W,B] operands
+    padded ONCE per level, one Pallas kernel per Farnebäck iteration
+    (box-smooth + solve + warp + matrix build), intermediate flow never
+    written to HBM.  The running system M is stored in ``m_dtype``
+    (bf16 by default — see the kernel docstring for the accuracy note)."""
+    b, h, w = prev.shape
+    img0 = jnp.asarray(prev, jnp.float32).transpose(1, 2, 0)
+    img1 = jnp.asarray(next_, jnp.float32).transpose(1, 2, 0)
+    e = radius + 1
+    levels = _effective_levels(h, w, params.levels, params.pyr_scale)
+    dx = dy = None
+    for k in range(levels, -1, -1):
+        scale = params.pyr_scale**k
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(_cv_round(sigma * 5) | 1, 3)
+        wk = _cv_round(w * scale)
+        hk = _cv_round(h * scale)
+        th = FUSED_TH
+        tw = FUSED_TW
+        hp = -(-hk // th) * th
+        wp = -(-wk // tw) * tw
+
+        n = smooth_sz // 2
+        i0 = _resize_hwb(
+            _blur_valid(
+                jnp.pad(img0, ((n, n), (n, n), (0, 0)), mode="reflect"),
+                _gaussian_blur_kernel(smooth_sz, sigma),
+            ),
+            hk, wk,
+        )
+        i1 = _resize_hwb(
+            _blur_valid(
+                jnp.pad(img1, ((n, n), (n, n), (0, 0)), mode="reflect"),
+                _gaussian_blur_kernel(smooth_sz, sigma),
+            ),
+            hk, wk,
+        )
+        r0 = _poly_expansion_cm(i0, params.poly_n, params.poly_sigma)
+        r1 = _poly_expansion_cm(i1, params.poly_n, params.poly_sigma)
+
+        def padc(x, er=0, ec=0):
+            return jnp.pad(
+                x,
+                [(0, 0)] * (x.ndim - 3)
+                + [(er, hp - hk + er), (ec, wp - wk + ec), (0, 0)],
+                mode="edge",
+            )
+
+        r0t = padc(r0)
+        r1p = padc(r1, er=e, ec=8)  # col halo 8: aligned kernel DMAs
+        if dx is None:
+            dxt = jnp.zeros((hp, wp, b), jnp.float32)
+            dyt = dxt
+            dxrp = jnp.zeros((hp + 2 * e, wp, b), jnp.float32)
+        else:
+            dx = _resize_hwb(dx, hk, wk) * (1.0 / params.pyr_scale)
+            dy = _resize_hwb(dy, hk, wk) * (1.0 / params.pyr_scale)
+            dxt = padc(dx)
+            dyt = padc(dy)
+            dxrp = jnp.pad(
+                dx, [(e, hp - hk + e), (0, wp - wk), (0, 0)], mode="edge"
+            )
+        bscp = jnp.pad(
+            jnp.asarray(_border_scale_hw(hk, wk))[..., None],
+            [(0, hp - hk), (0, wp - wk), (0, 0)],
+            mode="edge",
+        )
+
+        m = _update_matrices_sep_cm(
+            dxt, dyt, r0t, bscp, r1p, dxrp, radius, th, tw,
+            out_dtype=m_dtype,
+        )
+        for _ in range(params.iterations - 1):
+            m = _fused_box_update_cm(
+                m, r0t, bscp, r1p, params.winsize, radius, "matrices",
+                th, tw,
+            )
+        fl = _fused_box_update_cm(
+            m, r0t, bscp, r1p, params.winsize, radius, "flow", th, tw
+        )
+        dx = fl[0, :hk, :wk]
+        dy = fl[1, :hk, :wk]
+    return jnp.stack([dx, dy], axis=-1).transpose(2, 0, 1, 3)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "warp_radius", "kernel_mode")
 )
@@ -633,15 +1025,26 @@ def farneback_fast(
     """Batched dense flow: [B, H, W] uint8/float pairs → [B, H, W, 2].
 
     TPU fast path; see module docstring for the accuracy contract.
-    ``kernel_mode``: 'pallas_sep' fuses the warp+matrix build into a
-    Pallas kernel with the two-pass separable warp (fastest), 'pallas'
-    the non-separable Pallas kernel, 'xla' the pure-jnp select-shift,
-    'auto' picks pallas_sep on TPU backends.
+    ``kernel_mode``: 'fused' runs one Pallas kernel per Farnebäck
+    iteration (box+solve+warp+matrix build, fastest), 'pallas_sep' the
+    two-pass separable warp kernel with a separate box-solve kernel,
+    'pallas' the non-separable variant, 'xla' the pure-jnp select-shift,
+    'auto' picks fused on TPU backends.
     """
+    b_sz = prev.shape[0]
     if kernel_mode == "auto":
         kernel_mode = (
-            "pallas_sep" if jax.default_backend() == "tpu" else "xla"
+            "fused" if jax.default_backend() == "tpu" else "xla"
         )
+    if kernel_mode in ("fused", "fused_f32"):
+        if b_sz % 128 != 0 or params.winsize // 2 > 8:
+            kernel_mode = "pallas_sep"  # falls through to XLA helpers
+        else:
+            mdt = (jnp.float32 if kernel_mode == "fused_f32"
+                   else jnp.bfloat16)
+            return _farneback_fast_fused(
+                prev, next_, params, warp_radius, m_dtype=mdt
+            )
     if kernel_mode == "pallas_sep":
         def update_fn(r0, r1, f, rad):
             return update_matrices_pallas(r0, r1, f, rad, separable=True)

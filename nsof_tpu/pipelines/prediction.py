@@ -140,6 +140,37 @@ def prediction_step_full(
     return {"pred": warp_region(next_frame, flow, box), "flow": flow}
 
 
+def prediction_stages(cfg: PipelineConfig):
+    """ROI stages plus prediction stages for per-stage replay timing:
+    'comb' scatters the windowed flow into the frame (the reference's
+    combination step), 'task' does the grid+flow remap warp
+    (optical_flow_prediction.py:281-300), 'task_full' the full-frame
+    warp."""
+    from nsof_tpu.pipelines.segmentation import roi_stages
+
+    h, w = cfg.image_h, cfg.image_w
+    stages = roi_stages(cfg)
+
+    @jax.jit
+    def comb(flow_win, box, origin):
+        return roi_ops.scatter_window(
+            jnp.zeros((h, w, 2), jnp.float32), flow_win, box, origin
+        )
+
+    @jax.jit
+    def task(next_frame, flow, box, active):
+        box_eff = jnp.where(active, box, jnp.zeros_like(box))
+        return warp_region(next_frame, flow, box_eff)
+
+    @jax.jit
+    def task_full(next_frame, flow):
+        box = jnp.asarray([0, 0, w, h], jnp.int32)
+        return warp_region(next_frame, flow, box)
+
+    stages.update({"comb": comb, "task": task, "task_full": task_full})
+    return stages
+
+
 def prediction_ssim(pred: Array, true_future: Array) -> Array:
     """SSIM on channel 2 (R of a BGR frame) vs the true frame i+2,
     data_range 255 (optical_flow_prediction.py:113-115)."""

@@ -1,11 +1,22 @@
-"""Scene runners: dual-path execution + metrics + CSV reports.
+"""Scene runners: dual-path execution + per-stage metrics + CSV reports.
 
-The reference runs a Python loop per frame pair with host OpenCV calls;
-here each pair runs one jit-compiled on-device program (see ``_map_pairs``
-for why replay loops on the host rather than vmapping), with a dual
-ROI/full-frame comparison and the reference's CSV schema.  For throughput
-workloads use the batched fast paths (``seg_batch_fast`` and friends) or
-the shard_map'd multi-chip runner in :mod:`nsof_tpu.parallel.inference`.
+The reference runs a Python loop per frame pair with host OpenCV calls and
+brackets every stage with ``time.time()`` (module-global lists,
+optical_flow_seg.py:51-59), flushing a row per pair into a fixed-schema CSV
+(:366-382, optical_flow_ob.py:460-476, optical_flow_prediction.py:410-427)
+plus a free-text log.  Here each stage is its own jit-compiled on-device
+program (see ``_map_pairs`` for why replay loops on the host rather than
+vmapping) and every pair is timed per stage on both the neuromorphic-ROI
+path and the full-frame baseline.
+
+Timing honesty: each dispatch through the remote-TPU tunnel carries a
+fixed ~30-40 ms round-trip floor that would swamp the µs-scale ROI stage.
+``_dispatch_floor`` measures that constant with a trivial program on
+distinct inputs, and all per-stage times are floor-subtracted (clamped at
+0); the measured floor is recorded in ``SceneResult.timing`` and the text
+log.  For throughput workloads use the batched fast paths
+(``seg_batch_fast`` and friends) or the shard_map'd multi-chip runner in
+:mod:`nsof_tpu.parallel.inference`.
 """
 
 from __future__ import annotations
@@ -18,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nsof_tpu.config import PipelineConfig
 from nsof_tpu.data.scenes import SceneData
 from nsof_tpu.pipelines import prediction as pred_pipe
 from nsof_tpu.pipelines import segmentation as seg_pipe
@@ -32,7 +42,10 @@ class SceneResult:
     masks_full: Optional[np.ndarray] = None
     boxes: Optional[np.ndarray] = None
     boxes_valid: Optional[np.ndarray] = None
+    boxes_full: Optional[np.ndarray] = None
+    boxes_full_valid: Optional[np.ndarray] = None
     preds: Optional[np.ndarray] = None
+    preds_full: Optional[np.ndarray] = None
     metrics: dict = dataclasses.field(default_factory=dict)
     timing: dict = dataclasses.field(default_factory=dict)
 
@@ -68,122 +81,311 @@ def _map_pairs(step_fn):
     return run
 
 
+def _dispatch_floor(iters: int = 6) -> float:
+    """Median wall time of a trivial jitted program on distinct inputs —
+    the per-dispatch constant of the execution environment."""
+    f = jax.jit(lambda x: x + 1.0)
+    xs = [jnp.full((8,), float(i)) for i in range(iters + 2)]
+    for i in range(2):
+        jax.block_until_ready(f(xs[i]))
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(xs[2 + i]))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+class _Timed:
+    """Runs jitted stage programs, accumulating floor-subtracted wall
+    seconds per stage name."""
+
+    def __init__(self, floor: float):
+        self.floor = floor
+        self.acc: dict[str, list[float]] = {}
+        self.last: dict[str, float] = {}
+
+    def __call__(self, name: str, fn, *args):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        dt = max(0.0, time.perf_counter() - t0 - self.floor)
+        self.acc.setdefault(name, []).append(dt)
+        self.last[name] = dt
+        return out
+
+    def totals(self) -> dict[str, float]:
+        return {k: float(np.sum(v)) for k, v in self.acc.items()}
+
+
+def _flow_row(names_pair, tm: _Timed) -> dict:
+    """The four shared flow-time CSV columns + per-stage strings."""
+    orig = tm.last.get("vel_full", 0.0)
+    mem = tm.last.get("cal", 0.0) + tm.last.get("vel", 0.0)
+    imp = orig - mem
+    return {
+        "Frame_Pair": names_pair,
+        "Original_Flow_Time": f"{orig:.4f}",
+        "Mem_Flow_Time": f"{mem:.4f}",
+        "Flow_Time_Improvement": f"{imp:.4f}",
+        "Flow_Time_Improvement_Percent": (
+            f"{100 * imp / max(orig, 1e-9):.2f}"
+        ),
+        "Cal_Times": f"{tm.last.get('cal', 0.0):.4f}",
+        "Velocity_Times": f"{tm.last.get('vel', 0.0):.4f}",
+    }
+
+
+def _timing_summary(tm: _Timed, n: int) -> dict:
+    t = tm.totals()
+    roi = sum(t.get(k, 0.0) for k in ("cal", "vel", "task", "comb"))
+    full = sum(t.get(k, 0.0) for k in ("vel_full", "task_full"))
+    return {
+        "dispatch_floor_s": tm.floor,
+        "roi_s_total": roi,
+        "full_s_total": full,
+        "roi_ms_per_pair": 1e3 * roi / n,
+        "full_ms_per_pair": 1e3 * full / n,
+        "stage_totals_s": t,
+    }
+
+
 def run_segmentation(
-    scene: SceneData, csv_path: Optional[str] = None
+    scene: SceneData,
+    csv_path: Optional[str] = None,
+    txt_path: Optional[str] = None,
 ) -> SceneResult:
-    """Dual-path motion segmentation over a whole scene."""
+    """Dual-path motion segmentation over a whole scene, stage-timed per
+    pair with the reference CSV schema (optical_flow_seg.py:366-382)."""
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
+    st = seg_pipe.seg_stages(cfg)
+    tm = _Timed(_dispatch_floor())
+    report = (
+        reporting.CsvReport(csv_path, reporting.SEG_COLUMNS)
+        if csv_path
+        else None
+    )
+    log = reporting.TextLog(txt_path) if txt_path else None
+    if log:
+        log.write(f"dispatch_floor_s={tm.floor:.4f}")
 
-    roi_fn = _map_pairs(lambda m, p, x: seg_pipe.seg_step(m, p, x, cfg))
-    full_fn = _map_pairs(lambda p, x: seg_pipe.seg_step_full(p, x, cfg))
+    gt = scene.gt_masks[1 : n + 1] if scene.gt_masks is not None else None
+    masks, masks_full, pa_roi, pa_full = [], [], [], []
+    for i in range(n):
+        roi = tm("cal", st["cal"], mem[i])
+        flow_win, inbox = tm(
+            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
+            roi["origin"],
+        )
+        mask_win = tm("task", st["task"], flow_win, inbox)
+        mask = tm("comb", st["comb"], mask_win, roi["box"], roi["origin"])
+        flow_full = tm("vel_full", st["vel_full"], prev[i], nxt[i])
+        mask_full = tm("task_full", st["task_full"], flow_full)
+        masks.append(np.asarray(mask))
+        masks_full.append(np.asarray(mask_full))
 
-    t0 = time.perf_counter()
-    roi_out = jax.block_until_ready(roi_fn(mem, prev, nxt))
-    t_roi = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    full_out = jax.block_until_ready(full_fn(prev, nxt))
-    t_full = time.perf_counter() - t0
+        row = _flow_row(f"{scene.names[i+1]}-{scene.names[i]}", tm)
+        row.update(
+            {
+                "Original_Seg_Time": f"{tm.last['task_full']:.4f}",
+                "Mem_Seg_Time": f"{tm.last['task']:.4f}",
+                "Combination_Time": f"{tm.last['comb']:.4f}",
+                "Region_Percent": f"{float(roi['region_pct']):.2f}",
+            }
+        )
+        if gt is not None:
+            pa_roi.append(float(seg_pipe.pixel_accuracy(masks[-1], gt[i])))
+            pa_full.append(
+                float(seg_pipe.pixel_accuracy(masks_full[-1], gt[i]))
+            )
+            row["Original_PA"] = f"{pa_full[-1]:.4f}"
+            row["Mem_PA"] = f"{pa_roi[-1]:.4f}"
+        if report:
+            report.add(row)
+        if log:
+            log.write(
+                f"{row['Frame_Pair']}: flow orig={row['Original_Flow_Time']}"
+                f" mem={row['Mem_Flow_Time']} pa_orig="
+                f"{row.get('Original_PA', '-')} pa_mem="
+                f"{row.get('Mem_PA', '-')}"
+            )
 
     res = SceneResult(
-        masks=np.asarray(roi_out["mask"]),
-        masks_full=np.asarray(full_out["mask"]),
+        masks=np.stack(masks), masks_full=np.stack(masks_full)
     )
-    res.timing = {
-        "roi_s_total": t_roi,
-        "full_s_total": t_full,
-        "roi_ms_per_pair": 1e3 * t_roi / n,
-        "full_ms_per_pair": 1e3 * t_full / n,
-    }
-    if scene.gt_masks is not None:
-        gt = scene.gt_masks[1 : n + 1]
-        pa_roi = [
-            float(seg_pipe.pixel_accuracy(res.masks[i], gt[i]))
-            for i in range(n)
-        ]
-        pa_full = [
-            float(seg_pipe.pixel_accuracy(res.masks_full[i], gt[i]))
-            for i in range(n)
-        ]
+    res.timing = _timing_summary(tm, n)
+    if gt is not None:
         res.metrics = {
             "mem_pa_mean": float(np.mean(pa_roi)),
             "orig_pa_mean": float(np.mean(pa_full)),
         }
-        if csv_path:
-            report = reporting.CsvReport(csv_path, reporting.SEG_COLUMNS)
-            for i in range(n):
-                report.add(
-                    {
-                        "Frame_Pair": f"{scene.names[i+1]}-{scene.names[i]}",
-                        "Original_Flow_Time": f"{t_full / n:.4f}",
-                        "Mem_Flow_Time": f"{t_roi / n:.4f}",
-                        "Flow_Time_Improvement": f"{(t_full - t_roi) / n:.4f}",
-                        "Flow_Time_Improvement_Percent": (
-                            f"{100 * (t_full - t_roi) / max(t_full, 1e-9):.2f}"
-                        ),
-                        "Original_PA": f"{pa_full[i]:.4f}",
-                        "Mem_PA": f"{pa_roi[i]:.4f}",
-                        "Region_Percent": (
-                            f"{float(roi_out['region_pct'][i]):.2f}"
-                        ),
-                    }
-                )
     return res
 
 
-def run_tracking(scene: SceneData, csv_path: Optional[str] = None) -> SceneResult:
-    """Dual-path object tracking over a scene; IoU vs the GT max bbox."""
+def run_tracking(
+    scene: SceneData,
+    csv_path: Optional[str] = None,
+    txt_path: Optional[str] = None,
+) -> SceneResult:
+    """Dual-path object tracking; per-pair IoU vs the GT max bbox on both
+    paths, reference CSV schema (optical_flow_ob.py:460-476)."""
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
-    roi_fn = _map_pairs(lambda m, p, x: trk_pipe.tracking_step(m, p, x, cfg))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(roi_fn(mem, prev, nxt))
-    t_roi = time.perf_counter() - t0
-
-    res = SceneResult(
-        boxes=np.asarray(out["boxes"]), boxes_valid=np.asarray(out["valid"])
+    st = trk_pipe.tracking_stages(cfg)
+    tm = _Timed(_dispatch_floor())
+    report = (
+        reporting.CsvReport(csv_path, reporting.OB_COLUMNS)
+        if csv_path
+        else None
     )
-    res.timing = {"roi_s_total": t_roi, "roi_ms_per_pair": 1e3 * t_roi / n}
-    if scene.gt_masks is not None:
-        ious = []
-        for i in range(n):
+    log = reporting.TextLog(txt_path) if txt_path else None
+    if log:
+        log.write(f"dispatch_floor_s={tm.floor:.4f}")
+
+    boxes, valids, boxes_f, valids_f = [], [], [], []
+    ious, ious_f = [], []
+    for i in range(n):
+        roi = tm("cal", st["cal"], mem[i])
+        flow_win, inbox = tm(
+            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
+            roi["origin"],
+        )
+        out = tm(
+            "task", st["task"], flow_win, inbox, roi["origin"],
+            roi["active"],
+        )
+        flow_full = tm("vel_full", st["vel_full"], prev[i], nxt[i])
+        out_f = tm("task_full", st["task_full"], flow_full)
+        boxes.append(np.asarray(out["boxes"]))
+        valids.append(np.asarray(out["valid"]))
+        boxes_f.append(np.asarray(out_f["boxes"]))
+        valids_f.append(np.asarray(out_f["valid"]))
+
+        row = _flow_row(f"{scene.names[i+1]}-{scene.names[i]}", tm)
+        row.update(
+            {
+                "Original_OB_Time": f"{tm.last['task_full']:.4f}",
+                "Mem_OB_Time": f"{tm.last['task']:.4f}",
+                "Combination_Time": "0.0000",  # box offset folded into task
+                "Region_Percent": f"{float(roi['region_pct']):.2f}",
+            }
+        )
+        if scene.gt_masks is not None:
             gt_box, found = trk_pipe.max_bbox_from_mask(
                 jnp.asarray(scene.gt_masks[i + 1])
             )
             if bool(found):
-                iou = trk_pipe.mean_iou_vs_gt(
-                    jnp.asarray(res.boxes[i]),
-                    jnp.asarray(res.boxes_valid[i]),
-                    gt_box,
+                iou = float(
+                    trk_pipe.mean_iou_vs_gt(
+                        jnp.asarray(boxes[-1]),
+                        jnp.asarray(valids[-1]),
+                        gt_box,
+                    )
                 )
-                ious.append(float(iou))
-        res.metrics = {"mean_iou": float(np.mean(ious)) if ious else 0.0}
+                iou_f = float(
+                    trk_pipe.mean_iou_vs_gt(
+                        jnp.asarray(boxes_f[-1]),
+                        jnp.asarray(valids_f[-1]),
+                        gt_box,
+                    )
+                )
+                ious.append(iou)
+                ious_f.append(iou_f)
+                row["Mem_IoU"] = f"{iou:.4f}"
+                row["Original_IoU"] = f"{iou_f:.4f}"
+        if report:
+            report.add(row)
+        if log:
+            log.write(
+                f"{row['Frame_Pair']}: iou mem={row.get('Mem_IoU', '-')}"
+                f" orig={row.get('Original_IoU', '-')}"
+            )
+
+    res = SceneResult(
+        boxes=np.stack(boxes),
+        boxes_valid=np.stack(valids),
+        boxes_full=np.stack(boxes_f),
+        boxes_full_valid=np.stack(valids_f),
+    )
+    res.timing = _timing_summary(tm, n)
+    if ious:
+        res.metrics = {
+            "mean_iou": float(np.mean(ious)),
+            "mean_iou_full": float(np.mean(ious_f)),
+        }
     return res
 
 
-def run_prediction(scene: SceneData, csv_path: Optional[str] = None) -> SceneResult:
-    """Dual-path future-frame prediction; SSIM vs true frame i+2."""
+def run_prediction(
+    scene: SceneData,
+    csv_path: Optional[str] = None,
+    txt_path: Optional[str] = None,
+) -> SceneResult:
+    """Dual-path future-frame prediction; per-pair SSIM vs true frame i+2
+    on both paths, reference CSV schema
+    (optical_flow_prediction.py:410-427)."""
     cfg = scene.cfg
     n = scene.num_pairs
     mem = jnp.asarray(scene.mem_gray[1 : n + 1])
     prev = jnp.asarray(scene.frames_gray[:n])
     nxt = jnp.asarray(scene.frames_gray[1 : n + 1])
     nxt_bgr = jnp.asarray(scene.frames_bgr[1 : n + 1])
-
-    roi_fn = _map_pairs(
-        lambda m, p, x, f: pred_pipe.prediction_step(m, p, x, f, cfg)
+    st = pred_pipe.prediction_stages(cfg)
+    tm = _Timed(_dispatch_floor())
+    report = (
+        reporting.CsvReport(csv_path, reporting.PRED_COLUMNS)
+        if csv_path
+        else None
     )
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(roi_fn(mem, prev, nxt, nxt_bgr))
-    t_roi = time.perf_counter() - t0
-    res = SceneResult(preds=np.asarray(out["pred"]))
-    res.timing = {"roi_s_total": t_roi, "roi_ms_per_pair": 1e3 * t_roi / n}
+    log = reporting.TextLog(txt_path) if txt_path else None
+    if log:
+        log.write(f"dispatch_floor_s={tm.floor:.4f}")
 
-    ssims = []
+    preds, preds_f, ssims, ssims_f = [], [], [], []
     for i in range(n):
-        true_future = scene.frames_bgr[i + 2]
-        ssims.append(
-            float(pred_pipe.prediction_ssim(res.preds[i], true_future))
+        roi = tm("cal", st["cal"], mem[i])
+        flow_win, _ = tm(
+            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
+            roi["origin"],
         )
-    res.metrics = {"mean_ssim": float(np.mean(ssims))}
+        flow = tm("comb", st["comb"], flow_win, roi["box"], roi["origin"])
+        pred = tm(
+            "task", st["task"], nxt_bgr[i], flow, roi["box"], roi["active"]
+        )
+        flow_full = tm("vel_full", st["vel_full"], prev[i], nxt[i])
+        pred_f = tm("task_full", st["task_full"], nxt_bgr[i], flow_full)
+        preds.append(np.asarray(pred))
+        preds_f.append(np.asarray(pred_f))
+
+        true_future = scene.frames_bgr[i + 2]
+        ssims.append(float(pred_pipe.prediction_ssim(preds[-1], true_future)))
+        ssims_f.append(
+            float(pred_pipe.prediction_ssim(preds_f[-1], true_future))
+        )
+
+        row = _flow_row(f"{scene.names[i+1]}-{scene.names[i]}", tm)
+        row.update(
+            {
+                "Original_Pred_Time": f"{tm.last['task_full']:.4f}",
+                "Mem_Pred_Time": f"{tm.last['task']:.4f}",
+                "Combination_Time": f"{tm.last['comb']:.4f}",
+                "Original_SSIM": f"{ssims_f[-1]:.4f}",
+                "Mem_SSIM": f"{ssims[-1]:.4f}",
+                "Region_Percent": f"{float(roi['region_pct']):.2f}",
+            }
+        )
+        if report:
+            report.add(row)
+        if log:
+            log.write(
+                f"{row['Frame_Pair']}: ssim mem={row['Mem_SSIM']}"
+                f" orig={row['Original_SSIM']}"
+            )
+
+    res = SceneResult(preds=np.stack(preds), preds_full=np.stack(preds_f))
+    res.timing = _timing_summary(tm, n)
+    res.metrics = {
+        "mean_ssim": float(np.mean(ssims)),
+        "mean_ssim_full": float(np.mean(ssims_f)),
+    }
     return res

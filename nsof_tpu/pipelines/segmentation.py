@@ -120,6 +120,70 @@ def seg_batch(mem_u8, prev_gray, next_gray, cfg: PipelineConfig):
     )
 
 
+def roi_stages(cfg: PipelineConfig):
+    """Jitted ROI/flow stage programs shared by the replay runners.
+
+    Mirrors the reference's per-stage bracketing (mem_cal_times around the
+    threshold+CC+box step, mem_velocity_times around the backend flow call,
+    optical_flow_seg.py:51-59,211-252): 'cal' maps the device state to the
+    merged box + window origin, 'vel' computes the windowed (negated,
+    masked) flow, 'vel_full' the full-frame flow.
+    """
+    h, w = cfg.image_h, cfg.image_w
+    wh, ww = cfg.win_shape
+
+    @jax.jit
+    def cal(mem_u8):
+        r = roi_ops.roi_boxes(mem_u8, h, w, cfg.roi)
+        box = r["merged"]
+        active = r["any_active"]
+        origin = roi_ops.window_origin(box, wh, ww, h, w)
+        return {
+            "box": box,
+            "active": active,
+            "origin": origin,
+            "region_pct": roi_ops.region_percentage(box, h, w),
+        }
+
+    @jax.jit
+    def vel(prev_gray, next_gray, box, active, origin):
+        p_win = roi_ops.crop_window(prev_gray, origin, wh, ww)
+        n_win = roi_ops.crop_window(next_gray, origin, wh, ww)
+        flow_win = -farneback(p_win, n_win, cfg.fb)
+        inbox = roi_ops.window_box_mask(box, origin, wh, ww) & active
+        return jnp.where(inbox[..., None], flow_win, 0.0), inbox
+
+    @jax.jit
+    def vel_full(prev_gray, next_gray):
+        return -farneback(prev_gray, next_gray, cfg.fb)
+
+    return {"cal": cal, "vel": vel, "vel_full": vel_full}
+
+
+def seg_stages(cfg: PipelineConfig):
+    """ROI stages plus the seg head/scatter stages ('task', 'comb',
+    'task_full') for per-stage replay timing."""
+    h, w = cfg.image_h, cfg.image_w
+    stages = roi_stages(cfg)
+
+    @jax.jit
+    def task(flow_win, inbox):
+        return seg_head_window(flow_win, inbox, cfg)
+
+    @jax.jit
+    def comb(mask_win, box, origin):
+        return roi_ops.scatter_window(
+            jnp.zeros((h, w), jnp.uint8), mask_win, box, origin
+        )
+
+    @jax.jit
+    def task_full(flow):
+        return seg_head_window(flow, jnp.ones((h, w), bool), cfg)
+
+    stages.update({"task": task, "comb": comb, "task_full": task_full})
+    return stages
+
+
 def seg_head_window_batch(
     flow_win: Array, inbox: Array, cfg: PipelineConfig
 ) -> Array:

@@ -172,6 +172,32 @@ def tracking_step_full(
     return tracking_head_window(flow, inbox, (zero, zero), cfg)
 
 
+def tracking_stages(cfg: PipelineConfig):
+    """ROI stages plus the tracking head stages ('task', 'task_full') for
+    per-stage replay timing; box→image-coordinate mapping happens inside
+    the head (the reference's combination step), so 'comb' is a no-op."""
+    from nsof_tpu.pipelines.segmentation import roi_stages
+
+    h, w = cfg.image_h, cfg.image_w
+    stages = roi_stages(cfg)
+
+    @jax.jit
+    def task(flow_win, inbox, origin, active):
+        out = tracking_head_window(flow_win, inbox, origin, cfg)
+        out["valid"] = out["valid"] & active
+        return out
+
+    @jax.jit
+    def task_full(flow):
+        zero = jnp.zeros((), jnp.int32)
+        return tracking_head_window(
+            flow, jnp.ones((h, w), bool), (zero, zero), cfg
+        )
+
+    stages.update({"task": task, "task_full": task_full})
+    return stages
+
+
 def mean_iou_vs_gt(boxes: Array, valid: Array, gt_box: Array) -> Array:
     """Average IoU of predicted boxes vs the GT max bbox, +1 convention
     (optical_flow_ob.py:589-609).  Returns 0 when no predictions."""

@@ -35,10 +35,11 @@ OB_COLUMNS = [
     "Mem_Flow_Time",
     "Flow_Time_Improvement",
     "Flow_Time_Improvement_Percent",
-    "Original_Track_Time",
-    "Mem_Track_Time",
+    "Original_OB_Time",
+    "Mem_OB_Time",
     "Combination_Time",
-    "IoU",
+    "Original_IoU",
+    "Mem_IoU",
     "Region_Percent",
     "Cal_Times",
     "Velocity_Times",
