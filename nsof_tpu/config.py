@@ -44,6 +44,12 @@ class PipelineConfig:
     # full image (always correct, no speedup).
     window_h: Optional[int] = None
     window_w: Optional[int] = None
+    # FLAG=1 separate-regions mode: static per-component window (sized to
+    # the dataset's max component box + EXTEND margins) and the
+    # reference's MERGE_FLAG (True on every bundled FLAG=1 dataset).
+    sep_window_h: Optional[int] = None
+    sep_window_w: Optional[int] = None
+    merge_flag: bool = True
     offset: int = 0  # OFFSET into the state matrix (optical_flow_seg.py:37)
 
     @property
@@ -51,6 +57,13 @@ class PipelineConfig:
         return (
             self.window_h or self.image_h,
             self.window_w or self.image_w,
+        )
+
+    @property
+    def sep_win_shape(self) -> tuple[int, int]:
+        return (
+            self.sep_window_h or self.win_shape[0],
+            self.sep_window_w or self.win_shape[1],
         )
 
 
@@ -83,11 +96,15 @@ DATASETS = {
         window_h=160,
         window_w=160,
     ),
+    # FLAG=1 datasets (Parameters.txt: "FLAG = 1 (MERGE_FLAG = True)") —
+    # per-component flow, union-box head.  Their 4×4 / 15×15 grids make a
+    # single component's box potentially frame-sized, so the separate
+    # window defaults to the full frame (exactness first).
     "autodriving": PipelineConfig(
         name="autodriving",
         image_h=801,
         image_w=801,
-        roi=_roi(200, 114),
+        roi=_roi(200, 114, mode=1),
         fb=FB_PRESETS["autodriving"],
         window_h=801,
         window_w=801,
@@ -96,7 +113,7 @@ DATASETS = {
         name="uav",
         image_h=161,
         image_w=161,
-        roi=_roi(40, 114),
+        roi=_roi(40, 114, mode=1),
         fb=FB_PRESETS["uav"],
         window_h=161,
         window_w=161,
@@ -105,9 +122,23 @@ DATASETS = {
         name="uavnew2",
         image_h=600,
         image_w=600,
-        roi=_roi(40, 114),
+        roi=_roi(40, 114, mode=1),
         fb=FB_PRESETS["uavnew2"],
         window_h=600,
         window_w=600,
     ),
 }
+
+# Optional FLAG=1 preset for grasp (the reference runs grasp with FLAG=2,
+# but its merged ROI reaches 1920×840 while no single component exceeds
+# 240×240 px + 20 px EXTENDs over the bundled scene — separate-regions
+# mode replaces the full-frame window with 320×320 per-component windows,
+# ~95 % less flow work).  merge_flag=False keeps the head per-region too.
+DATASETS["grasp_sep"] = dataclasses.replace(
+    DATASETS["grasp"],
+    name="grasp_sep",
+    roi=_roi(80, 250, mode=1, k_max=8),
+    sep_window_h=320,
+    sep_window_w=320,
+    merge_flag=False,
+)

@@ -38,6 +38,12 @@ class RaftConfig:
     corr_radius: int = 4
     iters: int = 12
     compute_dtype: Any = jnp.float32
+    # 'allpairs' materialises the [B,H,W,H,W] volume once (CorrBlock);
+    # 'alternate' recomputes windowed correlations per lookup against a
+    # pooled fmap2 pyramid (AlternateCorrBlock / alt_cuda_corr,
+    # core/corr.py:63-91) — O(H·W) memory, for resolutions where the
+    # all-pairs volume would not fit in HBM.
+    corr_mode: str = "allpairs"
 
     @property
     def hidden_dim(self) -> int:
@@ -204,6 +210,47 @@ def bilinear_sample(img: Array, x: Array, y: Array) -> Array:
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+
+
+def alternate_corr_lookup(
+    fmap1: Array,
+    fmap2_pyramid: Sequence[Array],
+    coords: Array,
+    radius: int,
+) -> Array:
+    """AlternateCorrBlock-equivalent lookup (core/corr.py:63-91): per
+    level, windowed MXU correlation of full-res fmap1 against the pooled
+    fmap2, at coords/2^level; levels concatenated then scaled by 1/√C.
+
+    Mathematically equal to ``corr_lookup`` over the all-pairs pyramid
+    (average-pooling the volume over the fmap2 axes commutes with the
+    correlation), but never materialises the [B,H,W,H,W] volume.
+    """
+    from nsof_tpu.ops.correlation import windowed_correlation_mxu
+
+    c = fmap1.shape[-1]
+    out = [
+        windowed_correlation_mxu(fmap1, f2, coords / (2**lvl), radius)
+        for lvl, f2 in enumerate(fmap2_pyramid)
+    ]
+    return jnp.concatenate(out, axis=-1) / jnp.sqrt(jnp.float32(c))
+
+
+def build_fmap_pyramid(fmap2: Array, num_levels: int) -> list[Array]:
+    """Pooled-fmap2 pyramid for the alternate corr path (ceil-mode, like
+    :func:`build_corr_pyramid`, so tiny windows survive)."""
+    pyr = [fmap2]
+    x = fmap2
+    for _ in range(num_levels - 1):
+        ph = x.shape[1] % 2
+        pw = x.shape[2] % 2
+        if ph or pw:
+            x = jnp.pad(
+                x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge"
+            )
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        pyr.append(x)
+    return pyr
 
 
 def corr_lookup(pyramid: Sequence[Array], coords: Array, radius: int) -> Array:
@@ -426,8 +473,19 @@ class RAFT(nn.Module):
 
         fmap1 = fnet(img1).astype(jnp.float32)
         fmap2 = fnet(img2).astype(jnp.float32)
-        corr = all_pairs_correlation(fmap1, fmap2)
-        pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+        if cfg.corr_mode == "alternate":
+            f2_pyramid = build_fmap_pyramid(fmap2, cfg.corr_levels)
+
+            def lookup(coords):
+                return alternate_corr_lookup(
+                    fmap1, f2_pyramid, coords, cfg.corr_radius
+                )
+        else:
+            corr = all_pairs_correlation(fmap1, fmap2)
+            pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+
+            def lookup(coords):
+                return corr_lookup(pyramid, coords, cfg.corr_radius)
 
         cmap = cnet(img1)
         net = jnp.tanh(cmap[..., :hdim])
@@ -442,7 +500,7 @@ class RAFT(nn.Module):
         flows_up = []
         for _ in range(iters):
             coords1 = jax.lax.stop_gradient(coords1)
-            corr_feat = corr_lookup(pyramid, coords1, cfg.corr_radius)
+            corr_feat = lookup(coords1)
             flow = (coords1 - coords0).astype(dt)
             net, up_mask, delta = update(
                 net, inp, corr_feat.astype(dt), flow

@@ -43,13 +43,26 @@ from nsof_tpu.ops.farneback import (
 Array = jnp.ndarray
 
 
-def _dw_conv1d(x: Array, kernel: np.ndarray, axis: int) -> Array:
-    """Depthwise correlation along H (axis=0) or W (axis=1) of [H, W, B]."""
+def _dw_conv1d(
+    x: Array, kernel: np.ndarray, axis: int, pre_padded: bool = False
+) -> Array:
+    """Depthwise correlation along H (axis=0) or W (axis=1) of [H, W, B].
+
+    ``pre_padded=True`` skips the edge pad (caller already extended the
+    array by k//2 along ``axis``) — lets conv chains share one pad copy.
+    """
     k = len(kernel)
     n = k // 2
     b = x.shape[-1]
-    pad = [(n, n), (0, 0), (0, 0)] if axis == 0 else [(0, 0), (n, n), (0, 0)]
-    xp = jnp.pad(x, pad, mode="edge")
+    if pre_padded:
+        xp = x
+    else:
+        pad = (
+            [(n, n), (0, 0), (0, 0)]
+            if axis == 0
+            else [(0, 0), (n, n), (0, 0)]
+        )
+        xp = jnp.pad(x, pad, mode="edge")
     shape = (k, 1, 1, 1) if axis == 0 else (1, k, 1, 1)
     kern = jnp.broadcast_to(
         jnp.asarray(kernel, x.dtype).reshape(shape[:2] + (1, 1)),
@@ -80,15 +93,20 @@ def _shift2(x: Array, ky: int, kx: int) -> Array:
 
 def _poly_expansion_channels(img: Array, n: int, sigma: float):
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, sigma)
-    s0 = _dw_conv1d(img, g, 0)
-    s1 = _dw_conv1d(img, xg, 0)
-    s2 = _dw_conv1d(img, xxg, 0)
-    b1 = _dw_conv1d(s0, g, 1)
-    b2 = _dw_conv1d(s1, g, 1)
-    b3 = _dw_conv1d(s0, xg, 1)
-    b4 = _dw_conv1d(s0, xxg, 1)
+    # one shared edge pad per conv input instead of one per conv call
+    # (saves 5 full-plane HBM copies per image)
+    imgp = jnp.pad(img, ((n, n), (0, 0), (0, 0)), mode="edge")
+    s0 = _dw_conv1d(imgp, g, 0, pre_padded=True)
+    s1 = _dw_conv1d(imgp, xg, 0, pre_padded=True)
+    s2 = _dw_conv1d(imgp, xxg, 0, pre_padded=True)
+    s0p = jnp.pad(s0, ((0, 0), (n, n), (0, 0)), mode="edge")
+    s1p = jnp.pad(s1, ((0, 0), (n, n), (0, 0)), mode="edge")
+    b1 = _dw_conv1d(s0p, g, 1, pre_padded=True)
+    b2 = _dw_conv1d(s1p, g, 1, pre_padded=True)
+    b3 = _dw_conv1d(s0p, xg, 1, pre_padded=True)
+    b4 = _dw_conv1d(s0p, xxg, 1, pre_padded=True)
     b5 = _dw_conv1d(s2, g, 1)
-    b6 = _dw_conv1d(s1, xg, 1)
+    b6 = _dw_conv1d(s1p, xg, 1, pre_padded=True)
     return [
         b2 * ig11,
         b3 * ig11,
@@ -299,10 +317,14 @@ def _update_matrices_sep_kernel(
     copy2.wait()
     dxh = jnp.clip(dxs[...], -radius, radius)
 
-    # pass 1 (horizontal, per-row dx): T[c] over all slab rows
+    # pass 1 (horizontal, per-row dx): T[c] over all slab rows.
+    # bf16 expansions keep the pass intermediates bf16 (see the fused
+    # kernel for the accuracy note).
+    lowp = scratch.dtype == jnp.bfloat16
+    wdt = jnp.bfloat16 if lowp else jnp.float32
     t_rows = [None] * 5
     for kx in range(-radius, radius + 2):
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx)).astype(wdt)
         ox = hc + kx
         for c in range(5):
             tap = scratch[c, :, ox : ox + tw, :] * wx
@@ -311,17 +333,20 @@ def _update_matrices_sep_kernel(
     # pass 2 (vertical, output-pixel dy)
     acc = [None] * 5
     for ky in range(-radius, radius + 2):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky)).astype(wdt)
         oy = halo + ky
         for c in range(5):
             tap = t_rows[c][oy : oy + th, :, :] * wy
             acc[c] = tap if acc[c] is None else acc[c] + tap
+    if lowp:
+        acc = [a.astype(jnp.float32) for a in acc]
+    r0c = [r0_ref[c].astype(jnp.float32) for c in range(5)]
 
-    r4 = (r0_ref[2] + acc[2]) * 0.5
-    r5 = (r0_ref[3] + acc[3]) * 0.5
-    r6 = (r0_ref[4] + acc[4]) * 0.25
-    b_y = (r0_ref[0] - acc[0]) * 0.5
-    b_x = (r0_ref[1] - acc[1]) * 0.5
+    r4 = (r0c[2] + acc[2]) * 0.5
+    r5 = (r0c[3] + acc[3]) * 0.5
+    r6 = (r0c[4] + acc[4]) * 0.25
+    b_y = (r0c[0] - acc[0]) * 0.5
+    b_x = (r0c[1] - acc[1]) * 0.5
     r2 = b_y + r4 * dy + r6 * dx
     r3 = b_x + r6 * dy + r5 * dx
 
@@ -609,8 +634,8 @@ def _update_matrices_sep_cm(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, hp, wp, b), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((5, th + 2 * e, tw + 2 * hc, 128), jnp.float32),
-            pltpu.VMEM((th + 2 * e, tw, 128), jnp.float32),
+            pltpu.VMEM((5, th + 2 * e, tw + 2 * hc, 128), r1p.dtype),
+            pltpu.VMEM((th + 2 * e, tw, 128), dxrp.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -743,27 +768,37 @@ def _fused_box_update_kernel(
     dx = dxh[e : e + th]
     dy = jnp.clip(dyg[e : e + th], -radius, radius)
 
-    # separable warp (see _update_matrices_sep_kernel for the contract)
+    # separable warp (see _update_matrices_sep_kernel for the contract).
+    # With bf16 expansions the pass-1/2 intermediates stay bf16 too
+    # (halves the dominant VMEM temporaries; noise is averaged out by the
+    # box sum of the NEXT iteration — measured EPE unchanged).
+    lowp = r1slab.dtype == jnp.bfloat16
+    wdt = jnp.bfloat16 if lowp else jnp.float32
     t_rows = [None] * 5
     for kx in range(-radius, radius + 2):
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxh - kx)).astype(wdt)
         ox = ec + kx
         for c in range(5):
             tap = r1slab[c, :, ox : ox + tw, :] * wx
             t_rows[c] = tap if t_rows[c] is None else t_rows[c] + tap
     acc = [None] * 5
     for ky in range(-radius, radius + 2):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - ky)).astype(wdt)
         oy = e + ky
         for c in range(5):
             tap = t_rows[c][oy : oy + th, :, :] * wy
             acc[c] = tap if acc[c] is None else acc[c] + tap
+    if lowp:
+        acc = [a.astype(jnp.float32) for a in acc]
+        r0c = [r0slab[c].astype(jnp.float32) for c in range(5)]
+    else:
+        r0c = [r0slab[c] for c in range(5)]
 
-    r4 = (r0slab[2] + acc[2]) * 0.5
-    r5 = (r0slab[3] + acc[3]) * 0.5
-    r6 = (r0slab[4] + acc[4]) * 0.25
-    b_y = (r0slab[0] - acc[0]) * 0.5
-    b_x = (r0slab[1] - acc[1]) * 0.5
+    r4 = (r0c[2] + acc[2]) * 0.5
+    r5 = (r0c[3] + acc[3]) * 0.5
+    r6 = (r0c[4] + acc[4]) * 0.25
+    b_y = (r0c[0] - acc[0]) * 0.5
+    b_x = (r0c[1] - acc[1]) * 0.5
     r2 = b_y + r4 * dy + r6 * dx
     r3 = b_x + r6 * dy + r5 * dx
 
@@ -847,8 +882,8 @@ def _fused_box_update_cm(
         out_shape=jax.ShapeDtypeStruct((n_out_ch, hp, wp, b), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((5, th + 2 * pp, tw + 16, 128), mdt),
-            pltpu.VMEM(r1_slab, jnp.float32),
-            pltpu.VMEM(r0_slab, jnp.float32),
+            pltpu.VMEM(r1_slab, r1p.dtype),
+            pltpu.VMEM(r0_slab, r0t.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -925,13 +960,17 @@ FUSED_TW = 32
 
 def _farneback_fast_fused(
     prev: Array, next_: Array, params: FarnebackParams, radius: int,
-    m_dtype=jnp.bfloat16,
+    m_dtype=jnp.bfloat16, r_dtype=jnp.float32,
+    tiles: tuple[int, int] | None = None,
 ) -> Array:
     """Fused per-iteration pipeline: channel-major [5,H,W,B] operands
     padded ONCE per level, one Pallas kernel per Farnebäck iteration
     (box-smooth + solve + warp + matrix build), intermediate flow never
     written to HBM.  The running system M is stored in ``m_dtype``
-    (bf16 by default — see the kernel docstring for the accuracy note)."""
+    (bf16 by default — see the kernel docstring for the accuracy note);
+    ``r_dtype=bf16`` additionally stores the poly expansions r0/r1 in
+    bf16 (the b-term cancellation noise this injects is averaged down
+    ~15× by the (2m+1)² box sum — measure EPE before enabling)."""
     b, h, w = prev.shape
     img0 = jnp.asarray(prev, jnp.float32).transpose(1, 2, 0)
     img1 = jnp.asarray(next_, jnp.float32).transpose(1, 2, 0)
@@ -944,10 +983,13 @@ def _farneback_fast_fused(
         smooth_sz = max(_cv_round(sigma * 5) | 1, 3)
         wk = _cv_round(w * scale)
         hk = _cv_round(h * scale)
-        th = FUSED_TH
-        tw = FUSED_TW
+        th, tw = tiles if tiles is not None else (FUSED_TH, FUSED_TW)
+        # the initial-update kernel runs at tw=32 (its separable-warp
+        # temporaries need the headroom); wp covers both grids
+        tw_u = min(tw, 32)
+        wlcm = tw * tw_u // np.gcd(tw, tw_u)
         hp = -(-hk // th) * th
-        wp = -(-wk // tw) * tw
+        wp = -(-wk // wlcm) * wlcm
 
         n = smooth_sz // 2
         i0 = _resize_hwb(
@@ -966,6 +1008,9 @@ def _farneback_fast_fused(
         )
         r0 = _poly_expansion_cm(i0, params.poly_n, params.poly_sigma)
         r1 = _poly_expansion_cm(i1, params.poly_n, params.poly_sigma)
+        if r_dtype != jnp.float32:
+            r0 = r0.astype(r_dtype)
+            r1 = r1.astype(r_dtype)
 
         def padc(x, er=0, ec=0):
             return jnp.pad(
@@ -989,6 +1034,13 @@ def _farneback_fast_fused(
             dxrp = jnp.pad(
                 dx, [(e, hp - hk + e), (0, wp - wk), (0, 0)], mode="edge"
             )
+        if r_dtype != jnp.float32:
+            # dx/dy feed hat-basis tap weights and the A·d0 term; bf16
+            # (0.4 % relative) is within the fast-path contract and
+            # keeps the update kernel's operand blocks small
+            dxrp = dxrp.astype(r_dtype)
+            dxt = dxt.astype(r_dtype)
+            dyt = dyt.astype(r_dtype)
         bscp = jnp.pad(
             jnp.asarray(_border_scale_hw(hk, wk))[..., None],
             [(0, hp - hk), (0, wp - wk), (0, 0)],
@@ -996,7 +1048,7 @@ def _farneback_fast_fused(
         )
 
         m = _update_matrices_sep_cm(
-            dxt, dyt, r0t, bscp, r1p, dxrp, radius, th, tw,
+            dxt, dyt, r0t, bscp, r1p, dxrp, radius, th, tw_u,
             out_dtype=m_dtype,
         )
         for _ in range(params.iterations - 1):
@@ -1036,9 +1088,20 @@ def farneback_fast(
         kernel_mode = (
             "fused" if jax.default_backend() == "tpu" else "xla"
         )
-    if kernel_mode in ("fused", "fused_f32"):
+    if kernel_mode in ("fused", "fused_f32", "fused_bf16r"):
         if b_sz % 128 != 0 or params.winsize // 2 > 8:
             kernel_mode = "pallas_sep"  # falls through to XLA helpers
+        elif kernel_mode == "fused_bf16r":
+            # bf16 expansions + bf16 warp intermediates.  Measured on
+            # v5e: EPE fine (0.0025 vs exact) but ~30 % SLOWER than
+            # 'fused' — Mosaic's unaligned bf16 sublane slices cost more
+            # than the DMA they save.  Kept as a tuning knob for
+            # hardware where bf16 vector slices are free.
+            return _farneback_fast_fused(
+                prev, next_, params, warp_radius,
+                m_dtype=jnp.bfloat16, r_dtype=jnp.bfloat16,
+                tiles=(24, 32),
+            )
         else:
             mdt = (jnp.float32 if kernel_mode == "fused_f32"
                    else jnp.bfloat16)

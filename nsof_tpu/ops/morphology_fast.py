@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,3 +124,124 @@ def dilate_erode_n_hwb(mask: Array, se: np.ndarray, iterations: int) -> Array:
     for _ in range(iterations):
         x = erode_binary_hwb(dilate_binary_hwb(x, se), se)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed variant: 32 columns per uint32 word.
+#
+# Every op above is elementwise OR/AND/NOT plus spatial shifts, so packing
+# the W axis into uint32 words cuts the touched data 32× (bool masks live
+# as one int8 lane-element each).  W shifts become funnel shifts across
+# word boundaries (2 word-shifts + 2 bit-shifts + OR); H shifts are
+# unchanged.  Bit j of word i = column 32·i + j.  Invariant maintained by
+# every helper: bits beyond the true image width are ALWAYS 0 (so erosion
+# via complement uses ``_pnot``, which re-zeros them).
+# ---------------------------------------------------------------------------
+
+
+def _pack_w(x: Array, w_true: int) -> Array:
+    """[H, W, B] bool (W a multiple of 32 after internal padding) →
+    [H, W/32, B] uint32; tail bits (cols ≥ w_true) forced to 0."""
+    h, w, b = x.shape
+    wp = -(-w // 32) * 32
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, wp - w), (0, 0)))
+    xr = x.reshape(h, wp // 32, 32, b).astype(jnp.uint32)
+    bits = xr << jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    words = jax.lax.reduce(
+        bits, jnp.uint32(0), jax.lax.bitwise_or, (2,)
+    )
+    return words & _tail_mask(wp // 32, w_true)
+
+
+def _tail_mask(n_words: int, w_true: int) -> np.ndarray:
+    m = np.full((1, n_words, 1), 0xFFFFFFFF, np.uint32)
+    full, rem = divmod(w_true, 32)
+    if full < n_words:
+        m[0, full, 0] = (1 << rem) - 1 if rem else 0
+        m[0, full + 1 :, 0] = 0
+    return m
+
+
+def _pnot(x: Array, w_true: int) -> Array:
+    """Complement that preserves the tail-bits-are-0 invariant."""
+    return (~x) & _tail_mask(x.shape[1], w_true)
+
+
+def _unpack_w(words: Array, w_true: int) -> Array:
+    h, nw, b = words.shape
+    bits = (
+        words[:, :, None, :]
+        >> jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    ) & jnp.uint32(1)
+    return bits.reshape(h, nw * 32, b)[:, :w_true].astype(bool)
+
+
+def _shift_w_packed(x: Array, s: int) -> Array:
+    """out[col] = in[col + s] with zero (background) fill."""
+    if s == 0:
+        return x
+    q, r = divmod(s, 32)  # floor division: uniform for negative s
+
+    def wshift(p, dq):
+        if dq == 0:
+            return p
+        n = p.shape[1]
+        pad = ((0, 0), (max(0, -dq), max(0, dq)), (0, 0))
+        return jnp.pad(p, pad)[:, max(0, dq) : max(0, dq) + n]
+
+    if r == 0:
+        return wshift(x, q)
+    lo = wshift(x, q) >> jnp.uint32(r)
+    hi = wshift(x, q + 1) << jnp.uint32(32 - r)
+    return lo | hi
+
+
+def _window_or_w_packed(x: Array, left: int, right: int) -> Array:
+    """OR of columns [i+left .. i+right] via shift doubling, packed.
+
+    The forward window F[i] = OR x[i..i+k−1] must exist at virtual
+    columns down to ``left`` < 0, so the word array is pre-extended on
+    the left (zero words) and re-aligned after the final shift."""
+    k = right - left + 1
+    if k == 1:
+        return _shift_w_packed(x, left)
+    padw = -(-max(0, -left) // 32)
+    f = jnp.pad(x, ((0, 0), (padw, 0), (0, 0)))
+    span = 1
+    while span * 2 <= k:
+        f = f | _shift_w_packed(f, span)
+        span *= 2
+    if span < k:
+        f = f | _shift_w_packed(f, k - span)
+    return _shift_w_packed(f, left)[:, padw:]
+
+
+def _or_over_se_packed(x: Array, se: np.ndarray) -> Array:
+    out = None
+    by_run: dict[tuple[int, int], list[int]] = {}
+    for dy, left, right in se_row_runs(se):
+        by_run.setdefault((left, right), []).append(dy)
+    for (left, right), dys in by_run.items():
+        row = _window_or_w_packed(x, left, right)
+        for dy in dys:
+            shifted = _shift_h(row, dy, False)
+            out = shifted if out is None else (out | shifted)
+    return out
+
+
+def dilate_erode_n_masked_hwb(
+    mask: Array, inbox: Array, se: np.ndarray, iterations: int
+) -> Array:
+    """N × (dilate ∘ erode) with the seg head's crop-border re-masking,
+    entirely in the packed domain: x = dilate(x ∧ ib); x = erode(x ∨ ¬ib)
+    per iteration, then x ∧ ib — bit-identical to the unpacked chain
+    in :func:`nsof_tpu.pipelines.segmentation.seg_head_window_batch`."""
+    h, w, b = mask.shape
+    xp = _pack_w(mask.astype(bool), w)
+    ibp = _pack_w(inbox.astype(bool), w)
+    for _ in range(iterations):
+        xp = _or_over_se_packed(xp & ibp, se)  # dilate(x ∧ ib)
+        # erode(y) = ¬ dilO(¬y);  ¬(x ∨ ¬ib) = ¬x ∧ ib
+        xp = _pnot(_or_over_se_packed(_pnot(xp, w) & ibp, se), w)
+    return _unpack_w(xp & ibp, w)

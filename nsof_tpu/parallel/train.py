@@ -102,6 +102,70 @@ def make_train_step(model: RAFT, tx: optax.GradientTransformation,
     return train_step
 
 
+def create_flowformer_state(
+    rng,
+    mesh: Mesh,
+    cfg=None,
+    image_hw: tuple[int, int] = (96, 128),
+    lr: float = 2e-4,
+    num_steps: int = 100_000,
+):
+    """Sharded FlowFormer training state: data-parallel only (the
+    reference trains it with DataParallel, train_FlowFormer.py:57);
+    params replicated over the mesh."""
+    from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
+
+    cfg = cfg or FlowFormerConfig()
+    model = FlowFormer(cfg)
+    h, w = image_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    def init_fn(rng):
+        return model.init(rng, dummy, dummy)["params"]
+
+    repl = NamedSharding(mesh, P())
+    abstract = jax.eval_shape(init_fn, rng)
+    params = jax.jit(
+        init_fn, out_shardings=jax.tree.map(lambda _: repl, abstract)
+    )(rng)
+    tx = raft_optimizer(lr=lr, num_steps=num_steps)
+    opt_state = jax.jit(
+        tx.init,
+        out_shardings=jax.tree.map(
+            lambda _: repl, jax.eval_shape(tx.init, abstract)
+        ),
+    )(params)
+    return model, tx, TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_flowformer_step(model, tx, mesh: Mesh, gamma: float = 0.8):
+    """jitted FlowFormer train_step(state, batch), batch sharded over
+    'data' (same contract as make_train_step)."""
+    data = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, donate_argnums=(0,),
+             in_shardings=(None, data), out_shardings=None)
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params}, batch["image1"], batch["image2"]
+            )
+            loss, metrics = sequence_loss(
+                preds, batch["flow"], batch["valid"], gamma
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 jax.tree_util.register_pytree_node(
     TrainState,
     lambda s: ((s.params, s.opt_state, s.step), None),

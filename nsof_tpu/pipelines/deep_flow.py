@@ -77,18 +77,18 @@ def _pad8(x: Array):
     return jnp.pad(x, pads, mode="edge"), pads
 
 
-def deep_roi_flow_step(
+def _deep_roi_gate(
     mem_u8: Array,
     prev_rgb: Array,
     next_rgb: Array,
     cfg: PipelineConfig,
     backend: DeepBackend,
 ) -> dict[str, Array]:
-    """One ROI-gated deep-flow step on already 1/3-resized [H, W, 3] frames.
+    """Shared ROI gating + windowed deep flow for the three task heads.
 
-    Uses the merged FLAG=2 box scaled by memsize/3; runs the backend on a
-    fixed window padded to /8; scatters into a zero flow field; applies
-    the seg head (no Farnebäck inversion).
+    Merged FLAG=2 box scaled by memsize/3 (raft_seg.py:460-464), backend
+    run on a fixed window padded to /8, masked to the box; returns the
+    windowed flow plus the gating descriptor.
     """
     h, w = prev_rgb.shape[:2]
     roi_cfg = dataclasses.replace(
@@ -109,15 +109,38 @@ def deep_roi_flow_step(
     p_pad, pads = _pad8(p_win[None])
     n_pad, _ = _pad8(n_win[None])
     flow_pad = backend.apply(p_pad, n_pad)
-    t, b_, l, r_ = pads[1][0], pads[1][1], pads[2][0], pads[2][1]
+    t, l = pads[1][0], pads[2][0]
     flow_win = flow_pad[0, t : t + wh, l : l + ww]
 
     inbox = roi_ops.window_box_mask(box, origin, wh, ww) & active
     flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+    return {
+        "flow_win": flow_win,
+        "inbox": inbox,
+        "box": box,
+        "origin": origin,
+        "any_active": active,
+        "region_pct": roi_ops.region_percentage(box, h, w),
+    }
+
+
+def deep_roi_flow_step(
+    mem_u8: Array,
+    prev_rgb: Array,
+    next_rgb: Array,
+    cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """One ROI-gated deep-flow SEG step on already 1/3-resized [H, W, 3]
+    frames (raft_seg.py / ff_seg.py): gate, backend flow, scatter into a
+    zero flow field, seg head (no Farnebäck inversion)."""
+    h, w = prev_rgb.shape[:2]
+    g = _deep_roi_gate(mem_u8, prev_rgb, next_rgb, cfg, backend)
+    box, origin = g["box"], g["origin"]
     flow = roi_ops.scatter_window(
-        jnp.zeros((h, w, 2), jnp.float32), flow_win, box, origin
+        jnp.zeros((h, w, 2), jnp.float32), g["flow_win"], box, origin
     )
-    mask_win = seg_head_window(flow_win, inbox, cfg)
+    mask_win = seg_head_window(g["flow_win"], g["inbox"], cfg)
     mask = roi_ops.scatter_window(
         jnp.zeros((h, w), jnp.uint8), mask_win, box, origin
     )
@@ -125,8 +148,60 @@ def deep_roi_flow_step(
         "flow": flow,
         "mask": mask,
         "box": box,
-        "any_active": active,
-        "region_pct": roi_ops.region_percentage(box, h, w),
+        "any_active": g["any_active"],
+        "region_pct": g["region_pct"],
+    }
+
+
+def deep_roi_tracking_step(
+    mem_u8: Array,
+    prev_rgb: Array,
+    next_rgb: Array,
+    cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """ROI-gated deep tracking (raft_ob.py / ff_ob.py semantics): the
+    same gating as the seg step, with the Farnebäck tracking head
+    (HSV→gray→close→threshold→components→area filter→NMS) on the deep
+    flow — 1/3 resize, MEMSIZE/3, no negation."""
+    from nsof_tpu.pipelines.tracking import tracking_head_window
+
+    g = _deep_roi_gate(mem_u8, prev_rgb, next_rgb, cfg, backend)
+    out = tracking_head_window(g["flow_win"], g["inbox"], g["origin"], cfg)
+    out["valid"] = out["valid"] & g["any_active"]
+    out["box"] = g["box"]
+    out["any_active"] = g["any_active"]
+    out["region_pct"] = g["region_pct"]
+    return out
+
+
+def deep_roi_prediction_step(
+    mem_u8: Array,
+    prev_rgb: Array,
+    next_rgb: Array,
+    next_frame: Array,
+    cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """ROI-gated deep future-frame prediction (raft_prediction.py /
+    ff_prediction.py): deep flow scattered into the frame, grid+flow
+    remap warp inside the box, pass-through outside."""
+    from nsof_tpu.pipelines.prediction import warp_region
+
+    h, w = prev_rgb.shape[:2]
+    g = _deep_roi_gate(mem_u8, prev_rgb, next_rgb, cfg, backend)
+    flow = roi_ops.scatter_window(
+        jnp.zeros((h, w, 2), jnp.float32), g["flow_win"], g["box"],
+        g["origin"],
+    )
+    box_eff = jnp.where(g["any_active"], g["box"], jnp.zeros(4, jnp.int32))
+    pred = warp_region(next_frame, flow, box_eff)
+    return {
+        "pred": pred,
+        "flow": flow,
+        "box": g["box"],
+        "any_active": g["any_active"],
+        "region_pct": g["region_pct"],
     }
 
 
@@ -134,7 +209,7 @@ def deep_full_flow_step(
     prev_rgb: Array, next_rgb: Array, cfg: PipelineConfig,
     backend: DeepBackend,
 ) -> dict[str, Array]:
-    """Full-frame baseline for the deep pipelines."""
+    """Full-frame seg baseline for the deep pipelines."""
     h, w = prev_rgb.shape[:2]
     p_pad, pads = _pad8(prev_rgb[None])
     n_pad, _ = _pad8(next_rgb[None])
@@ -144,3 +219,31 @@ def deep_full_flow_step(
     inbox = jnp.ones((h, w), bool)
     mask = seg_head_window(flow, inbox, cfg)
     return {"flow": flow, "mask": mask}
+
+
+def deep_full_tracking_step(
+    prev_rgb: Array, next_rgb: Array, cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """Full-frame tracking baseline (raft_ob.py full path)."""
+    from nsof_tpu.pipelines.tracking import tracking_head_window
+
+    h, w = prev_rgb.shape[:2]
+    flow = deep_full_flow_step(prev_rgb, next_rgb, cfg, backend)["flow"]
+    zero = jnp.zeros((), jnp.int32)
+    return tracking_head_window(
+        flow, jnp.ones((h, w), bool), (zero, zero), cfg
+    )
+
+
+def deep_full_prediction_step(
+    prev_rgb: Array, next_rgb: Array, next_frame: Array,
+    cfg: PipelineConfig, backend: DeepBackend,
+) -> dict[str, Array]:
+    """Full-frame prediction baseline (raft_prediction.py full path)."""
+    from nsof_tpu.pipelines.prediction import warp_region
+
+    h, w = prev_rgb.shape[:2]
+    flow = deep_full_flow_step(prev_rgb, next_rgb, cfg, backend)["flow"]
+    box = jnp.asarray([0, 0, w, h], jnp.int32)
+    return {"pred": warp_region(next_frame, flow, box), "flow": flow}

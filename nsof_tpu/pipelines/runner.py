@@ -174,8 +174,7 @@ def run_segmentation(
     for i in range(n):
         roi = tm("cal", st["cal"], mem[i])
         flow_win, inbox = tm(
-            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
-            roi["origin"],
+            "vel", st["vel"], prev[i], nxt[i], mem[i], roi
         )
         mask_win = tm("task", st["task"], flow_win, inbox)
         mask = tm("comb", st["comb"], mask_win, roi["box"], roi["origin"])
@@ -247,8 +246,7 @@ def run_tracking(
     for i in range(n):
         roi = tm("cal", st["cal"], mem[i])
         flow_win, inbox = tm(
-            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
-            roi["origin"],
+            "vel", st["vel"], prev[i], nxt[i], mem[i], roi
         )
         out = tm(
             "task", st["task"], flow_win, inbox, roi["origin"],
@@ -345,8 +343,7 @@ def run_prediction(
     for i in range(n):
         roi = tm("cal", st["cal"], mem[i])
         flow_win, _ = tm(
-            "vel", st["vel"], prev[i], nxt[i], roi["box"], roi["active"],
-            roi["origin"],
+            "vel", st["vel"], prev[i], nxt[i], mem[i], roi
         )
         flow = tm("comb", st["comb"], flow_win, roi["box"], roi["origin"])
         pred = tm(

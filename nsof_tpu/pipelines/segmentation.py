@@ -126,30 +126,55 @@ def roi_stages(cfg: PipelineConfig):
     Mirrors the reference's per-stage bracketing (mem_cal_times around the
     threshold+CC+box step, mem_velocity_times around the backend flow call,
     optical_flow_seg.py:51-59,211-252): 'cal' maps the device state to the
-    merged box + window origin, 'vel' computes the windowed (negated,
-    masked) flow, 'vel_full' the full-frame flow.
+    ROI descriptor, 'vel' computes the windowed (negated, masked) flow,
+    'vel_full' the full-frame flow.  ``cfg.roi.mode`` selects the merged
+    FLAG=2 path or the FLAG=1 separate-regions path (per-component flow,
+    union-box head window); 'vel' uniformly takes (prev, next, mem, roi)
+    with roi the dict 'cal' returned.
     """
     h, w = cfg.image_h, cfg.image_w
     wh, ww = cfg.win_shape
+    separate = cfg.roi.mode == 1
 
     @jax.jit
     def cal(mem_u8):
+        from nsof_tpu.pipelines.separate import union_box
+
         r = roi_ops.roi_boxes(mem_u8, h, w, cfg.roi)
-        box = r["merged"]
         active = r["any_active"]
+        if separate:
+            box = union_box(
+                r["boxes"], r["valid"], cfg.roi.padding, h, w
+            )
+            pct = jnp.sum(
+                jax.vmap(lambda b: roi_ops.region_percentage(b, h, w))(
+                    r["boxes"]
+                )
+                * r["valid"]
+            )
+        else:
+            box = r["merged"]
+            pct = roi_ops.region_percentage(box, h, w)
         origin = roi_ops.window_origin(box, wh, ww, h, w)
         return {
             "box": box,
             "active": active,
             "origin": origin,
-            "region_pct": roi_ops.region_percentage(box, h, w),
+            "region_pct": pct,
         }
 
     @jax.jit
-    def vel(prev_gray, next_gray, box, active, origin):
-        p_win = roi_ops.crop_window(prev_gray, origin, wh, ww)
-        n_win = roi_ops.crop_window(next_gray, origin, wh, ww)
-        flow_win = -farneback(p_win, n_win, cfg.fb)
+    def vel(prev_gray, next_gray, mem_u8, roi):
+        box, active, origin = roi["box"], roi["active"], roi["origin"]
+        if separate:
+            from nsof_tpu.pipelines.separate import separate_flow_field
+
+            ff = separate_flow_field(mem_u8, prev_gray, next_gray, cfg)
+            flow_win = roi_ops.crop_window(-ff["flow"], origin, wh, ww)
+        else:
+            p_win = roi_ops.crop_window(prev_gray, origin, wh, ww)
+            n_win = roi_ops.crop_window(next_gray, origin, wh, ww)
+            flow_win = -farneback(p_win, n_win, cfg.fb)
         inbox = roi_ops.window_box_mask(box, origin, wh, ww) & active
         return jnp.where(inbox[..., None], flow_win, 0.0), inbox
 
@@ -198,10 +223,7 @@ def seg_head_window_batch(
     x = ((mag2 > cfg.head.seg_th**2) & inbox).transpose(1, 2, 0)  # [h,w,B]
     ib = inbox.transpose(1, 2, 0)
     se = morph.ellipse_se(cfg.head.morph_ksize, cfg.head.morph_ksize)
-    for _ in range(cfg.head.morph_iters):
-        x = mf.dilate_binary_hwb(x & ib, se)
-        x = mf.erode_binary_hwb(x | ~ib, se)
-    x = x & ib
+    x = mf.dilate_erode_n_masked_hwb(x, ib, se, cfg.head.morph_iters)
     return jnp.where(x.transpose(2, 0, 1), 255, 0).astype(jnp.uint8)
 
 

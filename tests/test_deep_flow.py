@@ -96,3 +96,45 @@ def test_min_region_skip(raft_backend):
     out = deep_roi_flow_step(mem, img, img, cfg, raft_backend)
     assert not bool(out["any_active"])
     np.testing.assert_allclose(np.asarray(out["flow"]), 0.0)
+
+
+def test_deep_tracking_and_prediction_steps(raft_backend):
+    """Deep ob/prediction heads share the seg gating (raft_ob.py /
+    raft_prediction.py semantics: 1/3 res, MEMSIZE/3, no negation)."""
+    import dataclasses as dc
+
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.pipelines.deep_flow import (
+        deep_full_prediction_step,
+        deep_full_tracking_step,
+        deep_roi_prediction_step,
+        deep_roi_tracking_step,
+    )
+
+    cfg = dc.replace(
+        DATASETS["tabletennis"], image_h=120, image_w=120,
+        window_h=120, window_w=120,
+    )
+    mem = np.zeros((16, 16), np.uint8)
+    mem[4:12, 4:12] = 255  # big box > 64px after /3 scaling
+    rng = np.random.default_rng(2)
+    prev = jnp.asarray(rng.integers(0, 255, (120, 120, 3)), jnp.uint8)
+    nxt = jnp.asarray(rng.integers(0, 255, (120, 120, 3)), jnp.uint8)
+
+    out = deep_roi_tracking_step(mem, prev, nxt, cfg, raft_backend)
+    assert out["boxes"].shape == (cfg.head.max_boxes, 4)
+    assert out["valid"].dtype == bool
+    of = deep_full_tracking_step(prev, nxt, cfg, raft_backend)
+    assert of["boxes"].shape == (cfg.head.max_boxes, 4)
+
+    outp = deep_roi_prediction_step(mem, prev, nxt, nxt, cfg, raft_backend)
+    assert outp["pred"].shape == nxt.shape
+    if bool(outp["any_active"]):
+        # pass-through outside the box
+        x0, y0, x1, y1 = np.asarray(outp["box"])
+        pr = np.asarray(outp["pred"]).copy()
+        nx = np.asarray(nxt)
+        pr[y0:y1, x0:x1] = nx[y0:y1, x0:x1]
+        np.testing.assert_array_equal(pr, nx)
+    opf = deep_full_prediction_step(prev, nxt, nxt, cfg, raft_backend)
+    assert opf["pred"].shape == nxt.shape

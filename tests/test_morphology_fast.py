@@ -50,3 +50,33 @@ def test_batched_seg_head_matches_single(rng):
     ref = jax.vmap(lambda f, ib: seg_head_window(f, ib, cfg))(flow, inbox)
     got = seg_head_window_batch(flow, inbox, cfg)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("w", [52, 64, 96])
+def test_packed_masked_loop_matches_unpacked(rng, w):
+    """Bit-packed dilate∘erode chain ≡ the unpacked masked chain."""
+    se = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (10, 10))
+    masks = jnp.asarray(rng.random((40, w, 8)) > 0.85)
+    inbox = jnp.asarray(rng.random((40, w, 8)) > 0.15)
+    got = np.asarray(mf.dilate_erode_n_masked_hwb(masks, inbox, se, 3))
+    x = masks & inbox
+    for _ in range(3):
+        x = mf.dilate_binary_hwb(x & inbox, se)
+        x = mf.erode_binary_hwb(x | ~inbox, se)
+    ref = np.asarray(x & inbox)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_packed_shift_roundtrip(rng):
+    x = jnp.asarray(rng.random((8, 96, 4)) > 0.5)
+    p = mf._pack_w(x, 96)
+    np.testing.assert_array_equal(np.asarray(mf._unpack_w(p, 96)), x)
+    for s in (-37, -5, -1, 0, 1, 5, 31, 32, 40):
+        shifted = np.asarray(mf._unpack_w(mf._shift_w_packed(p, s), 96))
+        ref = np.zeros_like(np.asarray(x))
+        src = np.asarray(x)
+        if s >= 0:
+            ref[:, : 96 - s] = src[:, s:]
+        else:
+            ref[:, -s:] = src[: , : 96 + s]
+        np.testing.assert_array_equal(shifted, ref, err_msg=f"s={s}")

@@ -1,0 +1,164 @@
+"""FLAG=1 separate-regions pipelines vs a numpy/cv2 transliteration of
+``process_separate_regions`` + ``task_results`` (optical_flow_seg.py:123-166,
+:271-299)."""
+
+import dataclasses
+
+import cv2
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DATA, requires_reference_data
+
+pytestmark = requires_reference_data
+
+
+@pytest.fixture(scope="module")
+def tt_scene():
+    from nsof_tpu.data.scenes import load_scene
+
+    return load_scene(REFERENCE_DATA, "tabletennis")
+
+
+@pytest.fixture(scope="module")
+def tt_cfg_sep(tt_scene):
+    cfg = tt_scene.cfg
+    return dataclasses.replace(
+        cfg,
+        name="tabletennis_sep",
+        roi=dataclasses.replace(cfg.roi, mode=1),
+    )
+
+
+def _head(flow_region, seg_th):
+    mag, _ = cv2.cartToPolar(
+        flow_region[..., 0].astype(np.float64),
+        flow_region[..., 1].astype(np.float64),
+    )
+    mask = np.zeros(mag.shape, np.uint8)
+    mask[mag > seg_th] = 255
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (10, 10))
+    for _ in range(5):
+        mask = cv2.dilate(mask, k)
+        mask = cv2.erode(mask, k)
+    _, mb = cv2.threshold(mask, 1, 255, cv2.THRESH_BINARY)
+    return mb
+
+
+def _reference_seg_pair_flag1(mem2, prev_gray, next_gray, cfg, merge=True):
+    """FLAG=1 transliteration: per-component Farnebäck + overwrite scatter
+    (optical_flow_seg.py:123-166), then the MERGE_FLAG head (:271-288) or
+    the per-region head (:289-299)."""
+    h, w = prev_gray.shape
+    ms = cfg.roi.memsize
+    tp = np.zeros((h // ms, w // ms), np.uint8)
+    tp[mem2 >= cfg.roi.thres] = 255
+    n, _, stats, _ = cv2.connectedComponentsWithStats(tp, connectivity=4)
+    flow = np.zeros((h, w, 2), np.float32)
+    if n == 1:
+        return np.zeros((h, w), np.uint8), []
+    regions = []
+    fb = cfg.fb
+    for i in range(1, n):
+        x, y, a, b = (stats[i, k] for k in range(4))
+        x0 = max(x * ms - cfg.roi.extend_left, 0)
+        y0 = max(y * ms - cfg.roi.extend_up, 0)
+        x1 = min((x + a) * ms + cfg.roi.extend_right, w)
+        y1 = min((y + b) * ms + cfg.roi.extend_down, h)
+        regions.append((x0, y0, x1, y1))
+        cur = cv2.calcOpticalFlowFarneback(
+            prev_gray[y0:y1, x0:x1], next_gray[y0:y1, x0:x1], None,
+            fb.pyr_scale, fb.levels, fb.winsize, fb.iterations,
+            fb.poly_n, fb.poly_sigma, 0,
+        )
+        flow[y0:y1, x0:x1] = cur
+    flow = -flow
+
+    motion = np.zeros((h, w), np.uint8)
+    if merge:
+        p = cfg.roi.padding
+        X0 = max(0, min(r[0] for r in regions) - p)
+        Y0 = max(0, min(r[1] for r in regions) - p)
+        X1 = min(w, max(r[2] for r in regions) + p)
+        Y1 = min(h, max(r[3] for r in regions) + p)
+        motion[Y0:Y1, X0:X1] = _head(flow[Y0:Y1, X0:X1], cfg.head.seg_th)
+        return motion, [(X0, Y0, X1, Y1)]
+    for x0, y0, x1, y1 in regions:
+        motion[y0:y1, x0:x1] = _head(flow[y0:y1, x0:x1], cfg.head.seg_th)
+    return motion, regions
+
+
+@pytest.mark.parametrize("merge", [True, False])
+def test_seg_separate_matches_reference(tt_scene, tt_cfg_sep, merge):
+    from nsof_tpu.pipelines.separate import seg_step_separate
+
+    cfg = tt_cfg_sep
+    agree = []
+    n_multi = 0
+    for i in range(tt_scene.num_pairs):
+        mem2, prev, nxt = tt_scene.pair_inputs(i)
+        ref_mask, regions = _reference_seg_pair_flag1(
+            mem2, prev, nxt, cfg, merge=merge
+        )
+        out = seg_step_separate(mem2, prev, nxt, cfg, merge_head=merge)
+        got = np.asarray(out["mask"])
+        if not regions:
+            assert not bool(out["any_active"])
+            assert got.sum() == 0
+            continue
+        tp = np.zeros(
+            (cfg.image_h // cfg.roi.memsize,
+             cfg.image_w // cfg.roi.memsize), np.uint8)
+        tp[mem2 >= cfg.roi.thres] = 255
+        ncomp = cv2.connectedComponentsWithStats(tp, connectivity=4)[0] - 1
+        n_multi += ncomp > 1
+        if merge:
+            assert tuple(np.asarray(out["box"])) == regions[0]
+        agree.append((got == ref_mask).mean())
+    # fixed-window flow vs the reference's exact-crop flow (the same
+    # approximation the FLAG=2 golden test accepts at 0.98); per-region
+    # heads see proportionally more border band, so slightly lower
+    thr = 0.98 if merge else 0.97
+    assert np.mean(agree) > thr, f"mask agreement {np.mean(agree)}"
+
+
+def test_separate_flow_matches_merged_for_single_component(tt_scene):
+    """With one active component, the FLAG=1 field inside the box equals
+    the FLAG=2 windowed flow (same box, same window semantics)."""
+    from nsof_tpu.pipelines.segmentation import seg_step
+    from nsof_tpu.pipelines.separate import separate_flow_field
+
+    cfg = tt_scene.cfg
+    cfg1 = dataclasses.replace(
+        cfg, roi=dataclasses.replace(cfg.roi, mode=1)
+    )
+    for i in range(tt_scene.num_pairs):
+        mem2, prev, nxt = tt_scene.pair_inputs(i)
+        tp = mem2 >= cfg.roi.thres
+        ncomp = cv2.connectedComponentsWithStats(
+            (tp * 255).astype(np.uint8), connectivity=4)[0] - 1
+        if ncomp != 1:
+            continue
+        ff = separate_flow_field(mem2, prev, nxt, cfg1)
+        out = seg_step(mem2, prev, nxt, cfg)
+        np.testing.assert_allclose(
+            -np.asarray(ff["flow"]), np.asarray(out["flow"]),
+            atol=1e-5,
+        )
+        return
+    pytest.skip("no single-component pair in scene")
+
+
+def test_tracking_prediction_separate_run(tt_scene, tt_cfg_sep):
+    from nsof_tpu.pipelines.separate import (
+        prediction_step_separate,
+        tracking_step_separate,
+    )
+
+    cfg = tt_cfg_sep
+    mem2, prev, nxt = tt_scene.pair_inputs(3)
+    out = tracking_step_separate(mem2, prev, nxt, cfg)
+    assert out["boxes"].shape[1] == 4
+    nxt_bgr = tt_scene.frames_bgr[4]
+    outp = prediction_step_separate(mem2, prev, nxt, nxt_bgr, cfg)
+    assert outp["pred"].shape == nxt_bgr.shape
