@@ -68,6 +68,103 @@ def cmd_task(kind: str, args) -> int:
     return 0
 
 
+def cmd_deep(args) -> int:
+    """Deep-backend neuromorphic pipelines (raft_{seg,ob,prediction}.py
+    / ff_* equivalents): 1/3-resized frames, MEMSIZE/3 gating, RAFT or
+    FlowFormer flow, task head.  Without --ckpt the model runs with
+    freshly initialised weights (the reference likewise requires a
+    separately downloaded .pth)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nsof_tpu.data import load_scene
+    from nsof_tpu.pipelines import deep_flow as dfl
+
+    scene = load_scene(args.data_root, args.scene, args.max_frames)
+    cfg0 = scene.cfg
+    h3, w3 = cfg0.image_h // 3, cfg0.image_w // 3
+    cfg = dataclasses.replace(
+        cfg0, image_h=h3, image_w=w3, window_h=h3, window_w=w3
+    )
+
+    if args.backend == "raft":
+        from nsof_tpu.models.raft import RAFT, RaftConfig
+
+        model = RAFT(RaftConfig(small=args.small, iters=args.iters))
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        params = model.init(
+            jax.random.PRNGKey(0), dummy, dummy, iters=1
+        )["params"]
+        if args.ckpt:
+            # checkpoints are TrainState trees (see train_smoke.py);
+            # restore against an abstract template and keep the params
+            from nsof_tpu.parallel.train import TrainState
+            from nsof_tpu.train.optim import raft_optimizer
+            from nsof_tpu.train.trainer import restore_checkpoint
+
+            tx = raft_optimizer(lr=1e-4, num_steps=100)
+            template = TrainState(
+                params, jax.eval_shape(tx.init, params),
+                jnp.zeros((), jnp.int32),
+            )
+            state, _ = restore_checkpoint(args.ckpt, template)
+            params = state.params
+        backend = dfl.DeepBackend.from_raft(model, params, iters=args.iters)
+    else:
+        from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
+
+        model = FlowFormer(FlowFormerConfig())
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+        backend = dfl.DeepBackend.from_flowformer(model, params)
+
+    step = {
+        "seg": lambda m, p, n, f: dfl.deep_roi_flow_step(
+            m, p, n, cfg, backend
+        ),
+        "track": lambda m, p, n, f: dfl.deep_roi_tracking_step(
+            m, p, n, cfg, backend
+        ),
+        "predict": lambda m, p, n, f: dfl.deep_roi_prediction_step(
+            m, p, n, f, cfg, backend
+        ),
+    }[args.task]
+    jstep = jax.jit(step)
+
+    out_dir = pathlib.Path(
+        args.out or f"output/{args.scene}_deep_{args.task}"
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    frames3 = np.asarray(
+        dfl.resize_third(jnp.asarray(scene.frames_bgr))
+    ).astype(np.uint8)
+    for i in range(scene.num_pairs):
+        mem2, _, _ = scene.pair_inputs(i)
+        out = jstep(
+            mem2, jnp.asarray(frames3[i]), jnp.asarray(frames3[i + 1]),
+            jnp.asarray(frames3[i + 1]),
+        )
+        rec = {
+            "frame": scene.names[i + 1],
+            "active": bool(out["any_active"]),
+            "region_pct": float(out["region_pct"]),
+        }
+        if args.task == "track":
+            rec["boxes"] = np.asarray(
+                out["boxes"][np.asarray(out["valid"])]
+            ).tolist()
+        rows.append(rec)
+    (out_dir / f"deep_{args.task}.json").write_text(
+        json.dumps(rows, indent=1)
+    )
+    print(json.dumps({"pairs": len(rows), "out": str(out_dir)}))
+    return 0
+
+
 def cmd_eventsim(args) -> int:
     import numpy as np
 
@@ -211,6 +308,17 @@ def main(argv=None) -> int:
         p = sub.add_parser(kind)
         _add_scene_args(p)
 
+    p = sub.add_parser("deep")
+    _add_scene_args(p)
+    p.add_argument("--task", choices=["seg", "track", "predict"],
+                   default="seg")
+    p.add_argument("--backend", choices=["raft", "flowformer"],
+                   default="raft")
+    p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--small", action="store_true", default=True)
+    p.add_argument("--basic", dest="small", action="store_false")
+    p.add_argument("--iters", type=int, default=20)
+
     p = sub.add_parser("eventsim")
     p.add_argument("--h5", default="driving_data.hdf5")
     p.add_argument("--version", type=int, choices=[1, 2], default=1)
@@ -255,6 +363,8 @@ def main(argv=None) -> int:
     if args.cmd in ("seg", "track", "predict"):
         kind = {"seg": "seg", "track": "track", "predict": "predict"}[args.cmd]
         return cmd_task(kind, args)
+    if args.cmd == "deep":
+        return cmd_deep(args)
     if args.cmd == "eventsim":
         return cmd_eventsim(args)
     if args.cmd == "framesim":

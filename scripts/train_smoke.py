@@ -107,8 +107,14 @@ def main() -> None:
             make_flowformer_step,
         )
 
+        from nsof_tpu.models.flowformer import FlowFormerConfig
+
+        # shallow decoder for the smoke run (the full 32-step decoder's
+        # unrolled training graph takes tens of minutes to compile on CPU)
+        ff_cfg = FlowFormerConfig(decoder_depth=6)
         model, tx, state = create_flowformer_state(
-            rng, mesh, image_hw=size, num_steps=args.steps, lr=2e-4
+            rng, mesh, cfg=ff_cfg, image_hw=size, num_steps=args.steps,
+            lr=2e-4,
         )
         step_fn = make_flowformer_step(model, tx, mesh)
 

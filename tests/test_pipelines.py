@@ -158,3 +158,105 @@ def test_prediction_matches_reference_warp(tt_scene):
     diff = np.abs(got_region.astype(int) - ref_region.astype(int))
     assert diff.mean() < 1.0
     assert (diff <= 4).mean() > 0.99
+
+
+def _reference_tracking_head(flow_win, inbox, origin_yx, seg_th):
+    """cv2/numpy transliteration of process_flow_region_tracking + NMS
+    (optical_flow_ob.py:321-379, 96-135) on a GIVEN flow window — isolates
+    the head from the flow backend."""
+    fl = np.where(inbox[..., None], np.asarray(flow_win), 0.0)
+    mag, ang = cv2.cartToPolar(
+        fl[..., 0].astype(np.float64), fl[..., 1].astype(np.float64)
+    )
+    hsv = np.zeros((*mag.shape, 3), np.uint8)
+    hsv[..., 1] = 255
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    big = np.where(inbox, mag, np.nan)
+    mn, mx = np.nanmin(big), np.nanmax(big)
+    scale = 255.0 / (mx - mn) if mx - mn > 1e-12 else 0.0
+    hsv[..., 2] = np.clip((mag - mn) * scale, 0, 255).astype(np.uint8)
+    hsv[..., 2] = np.where(inbox, hsv[..., 2], 0)
+    bgr = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+    draw = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    draw = np.where(inbox, draw, 0).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    draw = cv2.morphologyEx(draw, cv2.MORPH_CLOSE, k)
+    _, draw = cv2.threshold(draw, seg_th, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(
+        draw.copy(), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    oy, ox = origin_yx
+    boxes = []
+    for c in contours:
+        if cv2.contourArea(c) < 500:
+            continue
+        x, y, w, h = cv2.boundingRect(c)
+        boxes.append([x + ox, y + oy, x + w + ox, y + h + oy,
+                      cv2.contourArea(c)])
+    boxes = np.array(boxes)
+    if boxes.ndim != 2 or boxes.shape[0] == 0:
+        return np.zeros((0, 4))
+    order = boxes[:, 4].argsort()[::-1]
+    boxes = boxes[order]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (y2 - y1 + 1) * (x2 - x1 + 1)
+    idx = boxes[:, 4].argsort()[::-1]
+    keep = []
+    while idx.size > 0:
+        i = idx[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[idx[1:]])
+        yy1 = np.maximum(y1[i], y1[idx[1:]])
+        xx2 = np.minimum(x2[i], x2[idx[1:]])
+        yy2 = np.minimum(y2[i], y2[idx[1:]])
+        w = np.maximum(0, xx2 - xx1 + 1)
+        h = np.maximum(0, yy2 - yy1 + 1)
+        inter = w * h
+        iou = inter / (areas[i] + areas[idx[1:]] - inter)
+        idx = idx[1:][iou <= 0.2]
+    return boxes[keep][:, :4]
+
+
+def test_tracking_head_matches_reference(tt_scene):
+    """Our tracking head vs the cv2 transliteration on the SAME flow
+    input; boxes compared by best-match IoU (contourArea-vs-pixel-count
+    divergence near the 500 px² cutoff is documented in the module)."""
+    import jax.numpy as jnp
+
+    from nsof_tpu.ops import roi as roi_ops
+    from nsof_tpu.pipelines.segmentation import roi_stages
+    from nsof_tpu.pipelines.tracking import tracking_head_window
+
+    cfg = tt_scene.cfg
+    st = roi_stages(cfg)
+    matched, total = 0, 0
+    for i in range(tt_scene.num_pairs):
+        mem2, prev, nxt = tt_scene.pair_inputs(i)
+        roi = st["cal"](mem2)
+        flow_win, inbox = st["vel"](
+            jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(mem2), roi
+        )
+        out = tracking_head_window(
+            flow_win, inbox, (roi["origin"][0], roi["origin"][1]), cfg
+        )
+        got = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+        oy, ox = int(roi["origin"][0]), int(roi["origin"][1])
+        ref = _reference_tracking_head(
+            flow_win, np.asarray(inbox), (oy, ox), cfg.head.seg_th
+        )
+        total += len(ref)
+        for rb in ref:
+            if len(got) == 0:
+                continue
+            xx1 = np.maximum(got[:, 0], rb[0])
+            yy1 = np.maximum(got[:, 1], rb[1])
+            xx2 = np.minimum(got[:, 2], rb[2])
+            yy2 = np.minimum(got[:, 3], rb[3])
+            inter = np.maximum(0, xx2 - xx1) * np.maximum(0, yy2 - yy1)
+            a1 = (got[:, 2] - got[:, 0]) * (got[:, 3] - got[:, 1])
+            a2 = (rb[2] - rb[0]) * (rb[3] - rb[1])
+            iou = inter / np.maximum(a1 + a2 - inter, 1e-9)
+            if iou.max() > 0.8:
+                matched += 1
+    assert total > 0
+    assert matched / total > 0.85, f"matched {matched}/{total}"
