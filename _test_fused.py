@@ -26,7 +26,7 @@ epe_fe = np.asarray(jnp.sqrt(((fl_f[:1] - fl_e) ** 2).sum(-1)))
 print(f"EPE fused-vs-sep mean={epe_fs.mean():.5f} max={epe_fs.max():.4f}")
 print(f"EPE fused-vs-exact mean={epe_fe.mean():.5f} max={epe_fe.max():.4f}")
 
-for mode in ("pallas_sep", "fused"):
+for mode in ("fused",):
     @jax.jit
     def f(a, b):
         return farneback_fast(a, b, params, 3, mode).sum()

@@ -268,6 +268,7 @@ def _update_matrices_kernel(
 def _update_matrices_sep_kernel(
     dx_ref, dy_ref, r0_ref, bsc_ref, r1p_ref, dxp_ref, out_ref,
     scratch, dxs, sem, sem2, *, radius, halo, th, tw, hc=None,
+    r1_off=(0, 0),
 ):
     """Separable (two-pass) variant of :func:`_update_matrices_kernel`.
 
@@ -288,11 +289,12 @@ def _update_matrices_sep_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
+    ro, co2 = r1_off  # extra canvas margin of r1p beyond (halo, hc)
     copy = pltpu.make_async_copy(
         r1p_ref.at[
             :,
-            pl.ds(i * th, th + 2 * halo),
-            pl.ds(j * tw, tw + 2 * hc),
+            pl.ds(i * th + ro, th + 2 * halo),
+            pl.ds(j * tw + co2, tw + 2 * hc),
             pl.ds(k * 128, 128),
         ],
         scratch,
@@ -595,10 +597,163 @@ def box_solve_pallas(m_arr: Array, winsize: int) -> Array:
     return jnp.moveaxis(out[:, :h, :w], 0, -1)
 
 
+def _poly_expansion_kernel(
+    imgp_ref, out_ref, slab, sem, *, g, xg, xxg, igs, n, th, tw,
+    blur=None,
+):
+    """Pallas poly expansion: one (th, tw) tile of all 5 coefficient
+    planes from a single VMEM slab of the edge-padded image.
+
+    Replaces 9 XLA grouped convolutions per image, each of which lowers
+    on TPU to bf16 layout-conversion fusions costing ~1 ms at 256×384×256
+    (profiled); here the separable taps run in f32 straight from VMEM.
+    Tap folding uses the kernel symmetries (g, xxg even; xg odd).
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    co = 8  # column halo of the padded image (n (+blur) <= 8 enforced)
+    nb = 0 if blur is None else len(blur) // 2
+    hr = n + nb  # row halo
+    copy = pltpu.make_async_copy(
+        imgp_ref.at[
+            pl.ds(i * th, th + 2 * hr),
+            pl.ds(j * tw, tw + 2 * co),
+            pl.ds(k * 128, 128),
+        ],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    ig11, ig03, ig33, ig55 = igs
+
+    if blur is None:
+        src = slab  # rows th+2n, cols tw+2co; poly row r at slab row r
+    else:
+        # fused pre-smoothing (the per-level Gaussian, level 0 only where
+        # no resize follows): separable blur of the slab, consuming the
+        # extra nb halo; border band uses edge padding (the XLA path uses
+        # reflect — differs only in the outermost nb rows/cols).
+        rows = th + 2 * n
+        v = None
+        for t in range(-nb, nb + 1):
+            term = blur[nb + t] * slab[nb + t : nb + t + rows]
+            v = term if v is None else v + term
+        h = None
+        width = tw + 2 * (co - nb)
+        for t in range(-nb, nb + 1):
+            term = blur[nb + t] * v[:, nb + t : nb + t + width]
+            h = term if h is None else h + term
+        src = h  # rows th+2n, cols tw+2(co-nb); poly col anchor co-nb
+
+    pco = co - nb  # poly's column anchor within src
+
+    def vert(kern, odd):
+        acc = kern[n] * src[n : n + th] if not odd else None
+        for t in range(1, n + 1):
+            hi = src[n + t : n + t + th]
+            lo = src[n - t : n - t + th]
+            term = kern[n + t] * ((hi - lo) if odd else (hi + lo))
+            acc = term if acc is None else acc + term
+        return acc  # [th, src_cols, 128]
+
+    s0 = vert(g, False)
+    s1 = vert(xg, True)
+    s2 = vert(xxg, False)
+
+    def horiz(s, kern, odd):
+        acc = (
+            None if odd
+            else kern[n] * s[:, pco : pco + tw]
+        )
+        for t in range(1, n + 1):
+            hi = s[:, pco + t : pco + t + tw]
+            lo = s[:, pco - t : pco - t + tw]
+            term = kern[n + t] * ((hi - lo) if odd else (hi + lo))
+            acc = term if acc is None else acc + term
+        return acc  # [th, tw, 128]
+
+    b1 = horiz(s0, g, False)
+    b2 = horiz(s1, g, False)
+    b3 = horiz(s0, xg, True)
+    b4 = horiz(s0, xxg, False)
+    b5 = horiz(s2, g, False)
+    b6 = horiz(s1, xg, True)
+
+    out_ref[0] = b2 * ig11
+    out_ref[1] = b3 * ig11
+    out_ref[2] = b1 * ig03 + b5 * ig33
+    out_ref[3] = b1 * ig03 + b4 * ig33
+    out_ref[4] = b6 * ig55
+
+
+def _poly_expansion_cm_pallas(
+    img: Array, n: int, sigma: float, hp: int, wp: int,
+    blur_kernel=None, th: int = 16, tw: int = 32,
+    margin: tuple[int, int] = (0, 0),
+) -> Array:
+    """[hk, wk, B] image → channel-major [5, hp+2mr, wp+2mc, B] expansion
+    on the tile-padded canvas (slack rows/cols are
+    poly-of-edge-padded-image — within ~2 border rows of exact replicate,
+    see the level driver).  ``blur_kernel`` fuses the level's Gaussian
+    pre-smoothing into the same slab pass (level 0, where no resize
+    follows).  ``margin=(mr, mc)`` emits an extra ring (multiples of
+    th/tw) so consumers that need a halo (e.g. the warp's r1) read the
+    canvas directly instead of a 500 MB jnp.pad copy."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hk, wk, b = img.shape
+    mr, mc = margin
+    assert mr % th == 0 and mc % tw == 0, (margin, th, tw)
+    nb = 0 if blur_kernel is None else len(blur_kernel) // 2
+    assert n + nb <= 8 and 8 - nb >= n, (n, nb)
+    hr = n + nb
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, sigma)
+    imgp = jnp.pad(
+        img,
+        ((hr + mr, hp - hk + hr + mr),
+         (8 + mc, wp - wk + 8 + mc), (0, 0)),
+        mode="edge",
+    )
+    hp = hp + 2 * mr
+    wp = wp + 2 * mc
+    kernel = functools.partial(
+        _poly_expansion_kernel,
+        g=tuple(float(v) for v in g),
+        xg=tuple(float(v) for v in xg),
+        xxg=tuple(float(v) for v in xxg),
+        igs=(float(ig11), float(ig03), float(ig33), float(ig55)),
+        n=n, th=th, tw=tw,
+        blur=(None if blur_kernel is None
+              else tuple(float(v) for v in blur_kernel)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(hp // th, wp // tw, b // 128),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (5, th, tw, 128), lambda i, j, k: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((5, hp, wp, b), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * hr, tw + 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(imgp)
+
+
 def _update_matrices_sep_cm(
     dxt: Array, dyt: Array, r0t: Array, bscp: Array, r1p: Array,
     dxrp: Array, radius: int, th: int, tw: int,
-    out_dtype=jnp.float32,
+    out_dtype=jnp.float32, r1_off=(0, 0),
 ) -> Array:
     """Channel-major separable update on pre-padded operands (no per-call
     layout moves): r0t [5,hp,wp,b], r1p [5,hp+2e,wp+16,b] (row halo
@@ -612,7 +767,7 @@ def _update_matrices_sep_cm(
     hc = 8
     kernel = functools.partial(
         _update_matrices_sep_kernel, radius=radius, halo=e, th=th, tw=tw,
-        hc=hc,
+        hc=hc, r1_off=r1_off,
     )
     return pl.pallas_call(
         kernel,
@@ -694,6 +849,7 @@ def _win_sum_tree(a, axis: int, n_out: int, off0: int, win: int):
 def _fused_box_update_kernel(
     bsc_ref, mp_ref, r1p_ref, r0p_ref, out_ref, mslab, r1slab, r0slab,
     sem, sem2, sem3, *, radius, m, th, tw, pp, scale, emit,
+    r1_off=(0, 0),
 ):
     """Per-iteration Farnebäck step in ONE kernel: box-smooth the previous
     5-channel system M, solve the 2×2 flow equations, separable-warp r1 by
@@ -737,11 +893,12 @@ def _fused_box_update_kernel(
     )
     copy.start()
     if emit == "matrices":
+        ro, co2 = r1_off
         copy2 = pltpu.make_async_copy(
             r1p_ref.at[
                 :,
-                pl.ds(i * th, th + 2 * e),
-                pl.ds(j * tw, tw + 2 * ec),
+                pl.ds(i * th + ro, th + 2 * e),
+                pl.ds(j * tw + co2, tw + 2 * ec),
                 pl.ds(k * 128, 128),
             ],
             r1slab,
@@ -848,6 +1005,7 @@ def _fused_box_update_cm(
     emit: str,
     th: int,
     tw: int,
+    r1_off=(0, 0),
 ) -> Array:
     """Channel-major fused iteration step.
 
@@ -871,7 +1029,7 @@ def _fused_box_update_cm(
     kernel = functools.partial(
         _fused_box_update_kernel,
         radius=radius, m=mm, th=th, tw=tw, pp=pp,
-        scale=1.0 / (winsize * winsize), emit=emit,
+        scale=1.0 / (winsize * winsize), emit=emit, r1_off=r1_off,
     )
     if emit == "matrices":
         n_out_ch = 5
@@ -981,17 +1139,15 @@ FUSED_TW = 32
 
 def _farneback_fast_fused(
     prev: Array, next_: Array, params: FarnebackParams, radius: int,
-    m_dtype=jnp.bfloat16, r_dtype=jnp.float32,
+    m_dtype=jnp.bfloat16,
     tiles: tuple[int, int] | None = None,
+    out_layout: str = "bhw2",
 ) -> Array:
     """Fused per-iteration pipeline: channel-major [5,H,W,B] operands
     padded ONCE per level, one Pallas kernel per Farnebäck iteration
     (box-smooth + solve + warp + matrix build), intermediate flow never
     written to HBM.  The running system M is stored in ``m_dtype``
-    (bf16 by default — see the kernel docstring for the accuracy note);
-    ``r_dtype=bf16`` additionally stores the poly expansions r0/r1 in
-    bf16 (the b-term cancellation noise this injects is averaged down
-    ~15× by the (2m+1)² box sum — measure EPE before enabling)."""
+    (bf16 by default — see the kernel docstring for the accuracy note)."""
     b, h, w = prev.shape
     img0 = jnp.asarray(prev, jnp.float32).transpose(1, 2, 0)
     img1 = jnp.asarray(next_, jnp.float32).transpose(1, 2, 0)
@@ -1013,25 +1169,42 @@ def _farneback_fast_fused(
         wp = -(-wk // wlcm) * wlcm
 
         n = smooth_sz // 2
-        i0 = _resize_hwb(
-            _blur_valid(
-                jnp.pad(img0, ((n, n), (n, n), (0, 0)), mode="reflect"),
-                _gaussian_blur_kernel(smooth_sz, sigma),
-            ),
-            hk, wk,
-        )
-        i1 = _resize_hwb(
-            _blur_valid(
-                jnp.pad(img1, ((n, n), (n, n), (0, 0)), mode="reflect"),
-                _gaussian_blur_kernel(smooth_sz, sigma),
-            ),
-            hk, wk,
-        )
-        r0 = _poly_expansion_cm(i0, params.poly_n, params.poly_sigma)
-        r1 = _poly_expansion_cm(i1, params.poly_n, params.poly_sigma)
-        if r_dtype != jnp.float32:
-            r0 = r0.astype(r_dtype)
-            r1 = r1.astype(r_dtype)
+        gk_blur = _gaussian_blur_kernel(smooth_sz, sigma)
+        if k == 0:
+            # level 0 never resizes: fuse the (3-tap) Gaussian into the
+            # Pallas poly pass — no XLA conv machinery at full res
+            r0c = _poly_expansion_cm_pallas(
+                img0, params.poly_n, params.poly_sigma, hp, wp,
+                blur_kernel=gk_blur,
+            )
+            r1c = _poly_expansion_cm_pallas(
+                img1, params.poly_n, params.poly_sigma, hp, wp,
+                blur_kernel=gk_blur, th=8, tw=16, margin=(8, 16),
+            )
+        else:
+            i0 = _resize_hwb(
+                _blur_valid(
+                    jnp.pad(img0, ((n, n), (n, n), (0, 0)),
+                            mode="reflect"),
+                    gk_blur,
+                ),
+                hk, wk,
+            )
+            i1 = _resize_hwb(
+                _blur_valid(
+                    jnp.pad(img1, ((n, n), (n, n), (0, 0)),
+                            mode="reflect"),
+                    gk_blur,
+                ),
+                hk, wk,
+            )
+            r0c = _poly_expansion_cm_pallas(
+                i0, params.poly_n, params.poly_sigma, hp, wp
+            )
+            r1c = _poly_expansion_cm_pallas(
+                i1, params.poly_n, params.poly_sigma, hp, wp,
+                th=8, tw=16, margin=(8, 16),
+            )
 
         def padc(x, er=0, ec=0):
             return jnp.pad(
@@ -1041,8 +1214,12 @@ def _farneback_fast_fused(
                 mode="edge",
             )
 
-        r0t = padc(r0)
-        r1p = padc(r1, er=e, ec=8)  # col halo 8: aligned kernel DMAs
+        r0t = r0c  # already on the (hp, wp) canvas
+        # r1 canvas carries its own (8, 16) margin ring ⊇ the (e, 8)
+        # halo the warp kernels need — no jnp.pad copy; consumers
+        # offset their DMAs into it
+        r1p = r1c
+        r1_off = (8 - e, 16 - 8)
         if dx is None:
             dxt = jnp.zeros((hp, wp, b), jnp.float32)
             dyt = dxt
@@ -1055,13 +1232,6 @@ def _farneback_fast_fused(
             dxrp = jnp.pad(
                 dx, [(e, hp - hk + e), (0, wp - wk), (0, 0)], mode="edge"
             )
-        if r_dtype != jnp.float32:
-            # dx/dy feed hat-basis tap weights and the A·d0 term; bf16
-            # (0.4 % relative) is within the fast-path contract and
-            # keeps the update kernel's operand blocks small
-            dxrp = dxrp.astype(r_dtype)
-            dxt = dxt.astype(r_dtype)
-            dyt = dyt.astype(r_dtype)
         bscp = jnp.pad(
             jnp.asarray(_border_scale_hw(hk, wk))[..., None],
             [(0, hp - hk), (0, wp - wk), (0, 0)],
@@ -1070,23 +1240,27 @@ def _farneback_fast_fused(
 
         m = _update_matrices_sep_cm(
             dxt, dyt, r0t, bscp, r1p, dxrp, radius, th, tw_u,
-            out_dtype=m_dtype,
+            out_dtype=m_dtype, r1_off=r1_off,
         )
         for _ in range(params.iterations - 1):
             m = _fused_box_update_cm(
                 m, r0t, bscp, r1p, params.winsize, radius, "matrices",
-                th, tw,
+                th, tw, r1_off=r1_off,
             )
         fl = _fused_box_update_cm(
-            m, r0t, bscp, r1p, params.winsize, radius, "flow", th, tw
+            m, r0t, bscp, r1p, params.winsize, radius, "flow", th, tw,
+            r1_off=r1_off,
         )
         dx = fl[0, :hk, :wk]
         dy = fl[1, :hk, :wk]
+    if out_layout == "planes":
+        return dx, dy  # native [H, W, B] planes — no transpose copies
     return jnp.stack([dx, dy], axis=-1).transpose(2, 0, 1, 3)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "warp_radius", "kernel_mode")
+    jax.jit,
+    static_argnames=("params", "warp_radius", "kernel_mode", "out_layout"),
 )
 def farneback_fast(
     prev: Array,
@@ -1094,6 +1268,7 @@ def farneback_fast(
     params: FarnebackParams = FarnebackParams(),
     warp_radius: int = 4,
     kernel_mode: str = "auto",
+    out_layout: str = "bhw2",
 ) -> Array:
     """Batched dense flow: [B, H, W] uint8/float pairs → [B, H, W, 2].
 
@@ -1109,25 +1284,18 @@ def farneback_fast(
         kernel_mode = (
             "fused" if jax.default_backend() == "tpu" else "xla"
         )
-    if kernel_mode in ("fused", "fused_f32", "fused_bf16r"):
+    if kernel_mode in ("fused", "fused_f32"):
+        # (a bf16-expansions variant was tried and REMOVED: Mosaic's
+        # unaligned bf16 sublane slices cost more than the DMA they
+        # save — ~30 % slower than 'fused' on v5e)
         if b_sz % 128 != 0 or params.winsize // 2 > 8:
             kernel_mode = "pallas_sep"  # falls through to XLA helpers
-        elif kernel_mode == "fused_bf16r":
-            # bf16 expansions + bf16 warp intermediates.  Measured on
-            # v5e: EPE fine (0.0025 vs exact) but ~30 % SLOWER than
-            # 'fused' — Mosaic's unaligned bf16 sublane slices cost more
-            # than the DMA they save.  Kept as a tuning knob for
-            # hardware where bf16 vector slices are free.
-            return _farneback_fast_fused(
-                prev, next_, params, warp_radius,
-                m_dtype=jnp.bfloat16, r_dtype=jnp.bfloat16,
-                tiles=(24, 32),
-            )
         else:
             mdt = (jnp.float32 if kernel_mode == "fused_f32"
                    else jnp.bfloat16)
             return _farneback_fast_fused(
-                prev, next_, params, warp_radius, m_dtype=mdt
+                prev, next_, params, warp_radius, m_dtype=mdt,
+                out_layout=out_layout,
             )
     if kernel_mode == "pallas_sep":
         def update_fn(r0, r1, f, rad):
@@ -1181,4 +1349,6 @@ def farneback_fast(
                 update_fn=update_fn,
                 use_pallas_solve=kernel_mode.startswith("pallas"),
             )
+    if out_layout == "planes":
+        return flow[..., 0], flow[..., 1]  # [H, W, B] planes
     return flow.transpose(2, 0, 1, 3)  # [B, H, W, 2]

@@ -209,22 +209,31 @@ def seg_stages(cfg: PipelineConfig):
     return stages
 
 
+def _seg_head_mag2_hwb(
+    mag2_hwb: Array, inbox_hwb: Array, cfg: PipelineConfig
+) -> Array:
+    """Seg head on |flow|² in batch-in-lanes [h, w, B] layout → [B, h, w]
+    uint8 mask.  Bit-packed morphology (nsof_tpu.ops.morphology_fast)."""
+    from nsof_tpu.ops import morphology_fast as mf
+
+    x = (mag2_hwb > cfg.head.seg_th**2) & inbox_hwb
+    se = morph.ellipse_se(cfg.head.morph_ksize, cfg.head.morph_ksize)
+    x = mf.dilate_erode_n_masked_hwb(x, inbox_hwb, se,
+                                     cfg.head.morph_iters)
+    return jnp.where(x.transpose(2, 0, 1), 255, 0).astype(jnp.uint8)
+
+
 def seg_head_window_batch(
     flow_win: Array, inbox: Array, cfg: PipelineConfig
 ) -> Array:
-    """Batched seg head in batch-in-lanes layout: [B, h, w, 2] flow +
+    """Batched seg head in batch-major layout: [B, h, w, 2] flow +
     [B, h, w] mask → [B, h, w] uint8 {0,255}.  Same semantics as
     :func:`seg_head_window` (crop-border emulation via re-masking) but the
-    morphology runs as log-shift window maxes on [h, w, B] — no 100-tap
-    convs (see nsof_tpu.ops.morphology_fast)."""
-    from nsof_tpu.ops import morphology_fast as mf
-
+    morphology runs bit-packed on [h, w, B] — no 100-tap convs."""
     mag2 = flow_win[..., 0] ** 2 + flow_win[..., 1] ** 2
-    x = ((mag2 > cfg.head.seg_th**2) & inbox).transpose(1, 2, 0)  # [h,w,B]
-    ib = inbox.transpose(1, 2, 0)
-    se = morph.ellipse_se(cfg.head.morph_ksize, cfg.head.morph_ksize)
-    x = mf.dilate_erode_n_masked_hwb(x, ib, se, cfg.head.morph_iters)
-    return jnp.where(x.transpose(2, 0, 1), 255, 0).astype(jnp.uint8)
+    return _seg_head_mag2_hwb(
+        mag2.transpose(1, 2, 0), inbox.transpose(1, 2, 0), cfg
+    )
 
 
 @functools.partial(
@@ -265,15 +274,21 @@ def seg_batch_fast(
     )
     origins = (oy, ox)
 
-    flow_win = -farneback_fast(p_win, n_win, cfg.fb, warp_radius, kernel_mode)
+    # planes layout: [wh, ww, B] dx/dy straight from the fast path (no
+    # [B,H,W,2] stack/transpose round-trips); the head only needs |flow|²
+    # so the Farnebäck sign inversion is irrelevant here
+    dxp, dyp = farneback_fast(
+        p_win, n_win, cfg.fb, warp_radius, kernel_mode,
+        out_layout="planes",
+    )
 
     inbox = jax.vmap(
         lambda bx, oy, ox: roi_ops.window_box_mask(bx, (oy, ox), wh, ww)
     )(box, origins[0], origins[1])
     inbox = inbox & active[:, None, None]
-    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
 
-    mask_win = seg_head_window_batch(flow_win, inbox, cfg)
+    mag2 = dxp * dxp + dyp * dyp  # [wh, ww, B]
+    mask_win = _seg_head_mag2_hwb(mag2, inbox.transpose(1, 2, 0), cfg)
     mask = jax.vmap(
         lambda mw, bx, oy, ox: roi_ops.scatter_window(
             jnp.zeros((h, w), jnp.uint8), mw, bx, (oy, ox)

@@ -61,23 +61,46 @@ def main(data_root="/root/reference/data", out_md="RESULTS.md"):
     import subprocess
 
     rows = []
-    for name in ["tabletennis", "uav", "uavnew2", "grasp", "autodriving"]:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--one", name, data_root],
-            capture_output=True, text=True, timeout=3600,
-            cwd=str(pathlib.Path(__file__).resolve().parent.parent),
-        )
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+        "tabletennis", "uav", "uavnew2", "grasp", "autodriving"
+    ]
+    for name in names:
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--one", name, data_root],
+                capture_output=True, text=True, timeout=5400,
+                cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+            )
+            out_text, err_text = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as exc:
+            out_text = (exc.stdout or b"").decode() if isinstance(
+                exc.stdout, bytes) else (exc.stdout or "")
+            err_text = "scene subprocess timed out"
         row = None
-        for line in proc.stdout.splitlines():
+        for line in out_text.splitlines():
             if line.startswith("ROW "):
                 row = json.loads(line[4:])
         if row is None:
-            err = (proc.stderr.strip().splitlines() or ["unknown"])[-1]
+            err = (err_text.strip().splitlines() or ["unknown"])[-1]
             print(f"{name}: FAILED {err[:160]}", flush=True)
             rows.append({"scene": name, "error": err[:120]})
         else:
             rows.append(row)
             print(row, flush=True)
+    json_path = pathlib.Path("results/scene_rows.json")
+    old_rows = []
+    if json_path.exists():
+        old_rows = json.loads(json_path.read_text())
+    merged = {r["scene"]: r for r in old_rows}
+    merged.update({r["scene"]: r for r in rows if "error" not in r})
+    # keep errors only for scenes with no prior good row
+    for r in rows:
+        if "error" in r and r["scene"] not in merged:
+            merged[r["scene"]] = r
+    order = ["tabletennis", "uav", "uavnew2", "grasp", "autodriving"]
+    rows = [merged[n] for n in order if n in merged]
+    json_path.parent.mkdir(exist_ok=True)
+    json_path.write_text(json.dumps(rows, indent=1))
 
     lines = [
         "# RESULTS — dual-path metrics on the bundled reference scenes",
@@ -118,4 +141,4 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         run_one(*sys.argv[2:])
     else:
-        main(*sys.argv[1:])
+        main(*sys.argv[1:3])
