@@ -51,6 +51,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=240)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="results/train_smoke.json")
+    ap.add_argument("--size", default="96x128",
+                    help="HxW of the synthetic frames")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +77,7 @@ def main() -> None:
     from nsof_tpu.models.raft import RaftConfig
 
     rng_np = np.random.default_rng(0)
-    size = (96, 128)
+    size = tuple(int(v) for v in args.size.split("x"))
     train_pairs = synthetic_affine_dataset(rng_np, n=64, size=size,
                                            max_shift=4.0)
     val_pairs = synthetic_affine_dataset(
