@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Amortize the tunnel dispatch floor: k sequential B=256 seg batches
 per jit dispatch (chained via a scalar carry so XLA keeps them ordered
 and frees each batch's intermediates)."""

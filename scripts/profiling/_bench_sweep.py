@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Sweep batch size + breakdown farneback vs full seg step."""
 import sys
 import time

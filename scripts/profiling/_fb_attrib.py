@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Attribute farneback_fast cost: sweep iterations and levels at B=256."""
 import dataclasses
 import time

@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Bisect the lv0,it1 farneback path piece by piece at B=256."""
 import time
 import numpy as np

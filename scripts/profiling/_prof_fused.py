@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Per-kernel cost of the fused-path kernels via chained jit diffs."""
 import sys
 import time

@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Per-kernel costs via chained calls in one jit, unique inputs per call.
 
 Usage: python _profile_bench.py [substring-filter] [B]

@@ -1,3 +1,4 @@
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 """Accuracy + speed of the fused per-iteration kernel path."""
 import time
 import numpy as np
