@@ -68,6 +68,43 @@ def cmd_task(kind: str, args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Staged RAFT training (train_standard.sh:3-6 / fetch_dataloader
+    stage mixes) on a data×model device mesh."""
+    from nsof_tpu.models.raft import RaftConfig
+    from nsof_tpu.parallel.mesh import make_mesh
+    from nsof_tpu.train.curriculum import (
+        RAFT_STANDARD_STAGES,
+        run_curriculum,
+    )
+
+    if args.mesh:
+        dp, tp = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(dp * tp, model_parallel=tp)
+    else:
+        mesh = make_mesh()
+    stages = RAFT_STANDARD_STAGES
+    if args.stage:
+        by_name = {s.name: s for s in RAFT_STANDARD_STAGES}
+        if args.stage not in by_name:
+            print(f"unknown stage {args.stage!r}; have {sorted(by_name)}")
+            return 2
+        import dataclasses as _dc
+
+        stages = (_dc.replace(by_name[args.stage], restore_from=None),)
+    results = run_curriculum(
+        mesh,
+        args.data_root,
+        args.ckpt_root,
+        stages=stages,
+        raft_cfg=RaftConfig(small=args.small),
+        steps_per_stage=args.steps,
+        val_freq=args.val_freq,
+    )
+    print(json.dumps({"stages": sorted(results)}))
+    return 0
+
+
 def cmd_deep(args) -> int:
     """Deep-backend neuromorphic pipelines (raft_{seg,ob,prediction}.py
     / ff_* equivalents): 1/3-resized frames, MEMSIZE/3 gating, RAFT or
@@ -93,12 +130,20 @@ def cmd_deep(args) -> int:
     if args.backend == "raft":
         from nsof_tpu.models.raft import RAFT, RaftConfig
 
-        model = RAFT(RaftConfig(small=args.small, iters=args.iters))
-        dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
-        params = model.init(
-            jax.random.PRNGKey(0), dummy, dummy, iters=1
-        )["params"]
-        if args.ckpt:
+        if getattr(args, "torch_ckpt", None):
+            # reference .pth (raft-things/raft-small, download_models.sh)
+            from nsof_tpu.models.convert import pretrained_raft
+
+            model, variables = pretrained_raft(args.torch_ckpt)
+            model = RAFT(dataclasses.replace(model.cfg, iters=args.iters))
+            params = variables["params"]
+        else:
+            model = RAFT(RaftConfig(small=args.small, iters=args.iters))
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+            params = model.init(
+                jax.random.PRNGKey(0), dummy, dummy, iters=1
+            )["params"]
+        if args.ckpt and not getattr(args, "torch_ckpt", None):
             # checkpoints are TrainState trees (see train_smoke.py);
             # restore against an abstract template and keep the params
             from nsof_tpu.parallel.train import TrainState
@@ -315,6 +360,9 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=["raft", "flowformer"],
                    default="raft")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="reference torch checkpoint (raft-things.pth etc., "
+                        "converted via nsof_tpu.models.convert)")
     p.add_argument("--small", action="store_true", default=True)
     p.add_argument("--basic", dest="small", action="store_false")
     p.add_argument("--iters", type=int, default=20)
@@ -349,6 +397,21 @@ def main(argv=None) -> int:
                    help="farneback preset: grasp|tabletennis|autodriving|uav")
     p.add_argument("--out", default=None)
 
+    p = sub.add_parser("train")
+    p.add_argument("--data-root", required=True,
+                   help="folder holding FlyingChairs_release/ "
+                        "FlyingThings3D/ Sintel/ KITTI/ HD1k/")
+    p.add_argument("--ckpt-root", default="checkpoints")
+    p.add_argument("--stage", default=None,
+                   help="run a single stage (chairs|things|sintel|kitti); "
+                        "default runs the full staged schedule")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override steps per stage (smoke runs)")
+    p.add_argument("--mesh", default=None,
+                   help="data×model mesh, e.g. 4x2; default all-data")
+    p.add_argument("--small", action="store_true")
+    p.add_argument("--val-freq", type=int, default=5000)
+
     p = sub.add_parser("visualize")
     p.add_argument("npz")
     p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
@@ -371,6 +434,8 @@ def main(argv=None) -> int:
         return cmd_framesim(args)
     if args.cmd == "flow":
         return cmd_flow(args)
+    if args.cmd == "train":
+        return cmd_train(args)
     return cmd_visualize(args)
 
 

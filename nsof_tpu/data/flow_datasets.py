@@ -281,6 +281,46 @@ def scan_flying_chairs(root, split="training") -> list[FlowPair]:
     return pairs
 
 
+def scan_flying_things(root, dstype="frames_cleanpass") -> list[FlowPair]:
+    """FlyingThings3D layout (datasets.py FlyingThings3D): left camera,
+    both temporal directions — into_past pairs are reversed images with
+    the i+1 backward flow."""
+    root = pathlib.Path(root)
+    pairs = []
+    for direction in ("into_future", "into_past"):
+        image_dirs = sorted(root.glob(f"{dstype}/TRAIN/*/*"))
+        flow_dirs = sorted(root.glob("optical_flow/TRAIN/*/*"))
+        for idir, fdir in zip(image_dirs, flow_dirs):
+            images = sorted((idir / "left").glob("*.png"))
+            flows = sorted((fdir / direction / "left").glob("*.pfm"))
+            for i in range(len(flows) - 1):
+                if direction == "into_future":
+                    pairs.append(FlowPair(str(images[i]), str(images[i + 1]),
+                                          str(flows[i])))
+                else:
+                    pairs.append(FlowPair(str(images[i + 1]), str(images[i]),
+                                          str(flows[i + 1])))
+    return pairs
+
+
+def scan_hd1k(root) -> list[FlowPair]:
+    """HD1K layout (datasets.py HD1K): per-sequence png frames with
+    sparse flow_occ ground truth."""
+    root = pathlib.Path(root)
+    pairs = []
+    seq = 0
+    while True:
+        flows = sorted(root.glob(f"hd1k_flow_gt/flow_occ/{seq:06d}_*.png"))
+        images = sorted(root.glob(f"hd1k_input/image_2/{seq:06d}_*.png"))
+        if not flows:
+            break
+        for i in range(len(flows) - 1):
+            pairs.append(FlowPair(str(images[i]), str(images[i + 1]),
+                                  str(flows[i])))
+        seq += 1
+    return pairs
+
+
 def scan_kitti(root, split="training") -> list[FlowPair]:
     root = pathlib.Path(root) / split
     pairs = []

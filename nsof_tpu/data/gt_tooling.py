@@ -6,10 +6,15 @@ lang_sam/lang_sam.py:117-123; CLI running_test.py:27-56).  Those are
 third-party pretrained models; here the pipeline is re-created around a
 pluggable :class:`PromptSegmenter` protocol:
 
+- :class:`OwlVitBoxProposer` — open-vocabulary text→box grounding (HF
+  OWL-ViT, local weights), playing GroundingDINO's role
+  (lang_sam.py:91-103),
 - :class:`TransformersSamSegmenter` — HF ``transformers`` SAM with
   box prompts (when weights are available locally),
-- :class:`BrightnessSegmenter` — deterministic weightless stand-in for
-  tests and offline environments.
+- :func:`lang_sam_segmenter` — the full text→boxes→masks chain
+  (LangSAM.predict, lang_sam.py:117-123),
+- :class:`BrightnessSegmenter` / :class:`BrightnessBoxProposer` —
+  deterministic weightless stand-ins for tests and offline environments.
 
 The mask-generation loop reproduces the reference CLI semantics: iterate
 ``imgs.txt``, predict per text prompt, OR-combine instance masks, write a
@@ -58,6 +63,67 @@ class BrightnessSegmenter:
         ]
 
 
+class BoxProposer(Protocol):
+    def __call__(self, image_rgb: np.ndarray, text_prompt: str) -> list[list[float]]:
+        """Returns [x0, y0, x1, y1] boxes grounded in the text prompt."""
+        ...
+
+
+class OwlVitBoxProposer:
+    """Open-vocabulary text→box grounding via OWL-ViT — the
+    GroundingDINO stage of LangSAM (``predict_dino``, lang_sam.py:91-103:
+    text prompt → thresholded boxes).  ``score_threshold`` plays
+    box_threshold's role (the reference default is 0.3,
+    lang_sam.py:117).  Requires locally cached HF weights."""
+
+    def __init__(self, model_name: str = "google/owlvit-base-patch32",
+                 score_threshold: float = 0.3):
+        from transformers import (  # optional import
+            OwlViTForObjectDetection,
+            OwlViTProcessor,
+        )
+
+        self.model = OwlViTForObjectDetection.from_pretrained(model_name)
+        self.model.eval()
+        self.processor = OwlViTProcessor.from_pretrained(model_name)
+        self.score_threshold = score_threshold
+
+    def __call__(self, image_rgb, text_prompt):
+        import torch
+
+        inputs = self.processor(
+            text=[[text_prompt]], images=image_rgb, return_tensors="pt"
+        )
+        with torch.no_grad():
+            out = self.model(**inputs)
+        h, w = image_rgb.shape[:2]
+        res = self.processor.post_process_object_detection(
+            out,
+            threshold=self.score_threshold,
+            target_sizes=torch.tensor([[h, w]]),
+        )[0]
+        boxes = res["boxes"].cpu().numpy()
+        return [list(map(float, b)) for b in boxes]
+
+
+class BrightnessBoxProposer:
+    """Weightless text→box stand-in: bounding boxes of bright/dark blobs
+    (polarity from the prompt, like :class:`BrightnessSegmenter`)."""
+
+    def __init__(self, thresh: int = 180, min_area: int = 100):
+        self._seg = BrightnessSegmenter(thresh, min_area)
+
+    def __call__(self, image_rgb, text_prompt):
+        boxes = []
+        for m in self._seg(image_rgb, text_prompt):
+            ys, xs = np.nonzero(m)
+            boxes.append(
+                [float(xs.min()), float(ys.min()),
+                 float(xs.max() + 1), float(ys.max() + 1)]
+            )
+        return boxes
+
+
 class TransformersSamSegmenter:
     """SAM via HF transformers with box prompts from a box proposer
     (GroundingDINO's role); requires locally cached weights."""
@@ -90,6 +156,21 @@ class TransformersSamSegmenter:
             inputs["reshaped_input_sizes"].cpu(),
         )[0]
         return [np.asarray(m[0]) > 0 for m in masks]
+
+
+def lang_sam_segmenter(
+    sam_model: str = "facebook/sam-vit-base",
+    owl_model: str = "google/owlvit-base-patch32",
+    score_threshold: float = 0.3,
+) -> "TransformersSamSegmenter":
+    """The full LangSAM chain (lang_sam.py:117-123): open-vocabulary
+    text→boxes (OWL-ViT standing in for GroundingDINO) feeding SAM
+    box-prompted mask prediction.  Both models need locally cached
+    weights; build the pieces separately to substitute stand-ins."""
+    return TransformersSamSegmenter(
+        sam_model,
+        box_proposer=OwlVitBoxProposer(owl_model, score_threshold),
+    )
 
 
 @dataclasses.dataclass

@@ -45,6 +45,12 @@ class RaftConfig:
     # all-pairs volume would not fit in HBM.
     corr_mode: str = "allpairs"
 
+    # Basic cnet normalisation: 'batch' (GroupNorm stand-in, trainable) or
+    # 'frozenbatch' (per-channel affine — exactly BatchNorm.eval() with its
+    # running stats folded in; use when loading reference torch checkpoints
+    # via nsof_tpu.models.convert).
+    cnet_norm: str = "batch"
+
     @property
     def hidden_dim(self) -> int:
         return 96 if self.small else 128
@@ -54,34 +60,69 @@ class RaftConfig:
         return 64 if self.small else 128
 
 
+# torch normalisation layers use eps=1e-5 (flax GroupNorm defaults to 1e-6);
+# pinned so converted checkpoints reproduce reference activations exactly.
+NORM_EPS = 1e-5
+
+
+def _torch_pad(k: int):
+    """Symmetric torch-style conv padding (padding=k//2).
+
+    flax 'SAME' distributes stride-2 padding asymmetrically (lo=2, hi=3
+    for a 7×7/s2 on even sizes) while torch pads k//2 on BOTH sides —
+    same output shape, shifted taps.  Strided convs must use this for
+    converted reference checkpoints to reproduce torch activations."""
+    return ((k // 2, k // 2),) * 2
+
+
+class AffineNorm(nn.Module):
+    """Per-channel affine — ``BatchNorm2d.eval()`` with running stats folded
+    into (scale, bias).  The torch→Flax converter emits
+    ``scale = weight/sqrt(running_var+eps)``, ``bias = bias - mean*scale``,
+    making the 'frozenbatch' cnet bit-exact vs the reference in eval mode
+    (codebase/RAFT/core/extractor.py:131 BatchNorm2d)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (x * scale + bias).astype(self.dtype)
+
+
 class ResidualBlock(nn.Module):
     planes: int
     norm: str = "instance"
     stride: int = 1
     dtype: Any = jnp.float32
 
-    def _norm(self, name):
+    def _norm(self, name, features=None):
+        features = features or self.planes
         if self.norm == "group":
             return nn.GroupNorm(num_groups=self.planes // 8, name=name,
-                                dtype=self.dtype)
+                                epsilon=NORM_EPS, dtype=self.dtype)
         if self.norm == "instance":
             # InstanceNorm == GroupNorm with one group per channel,
             # no learned stats over batch
             return nn.GroupNorm(num_groups=None, group_size=1, name=name,
                                 use_bias=False, use_scale=False,
-                                dtype=self.dtype)
+                                epsilon=NORM_EPS, dtype=self.dtype)
         if self.norm == "batch":
             # batch-independent replacement: GroupNorm(8 channels/group) —
             # BatchNorm's running stats don't map well to pure-functional
             # sharded training; GN is the standard substitute
             return nn.GroupNorm(num_groups=self.planes // 8, name=name,
-                                dtype=self.dtype)
+                                epsilon=NORM_EPS, dtype=self.dtype)
+        if self.norm == "frozenbatch":
+            return AffineNorm(features, dtype=self.dtype, name=name)
         return lambda x: x
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1",
-                    dtype=self.dtype)(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride,
+                    padding=_torch_pad(3), name="conv1", dtype=self.dtype)(x)
         y = nn.relu(self._norm("norm1")(y))
         y = nn.Conv(self.planes, (3, 3), name="conv2", dtype=self.dtype)(y)
         y = nn.relu(self._norm("norm2")(y))
@@ -89,6 +130,35 @@ class ResidualBlock(nn.Module):
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
                         name="downsample", dtype=self.dtype)(x)
             x = self._norm("norm3")(x)
+        return nn.relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    """1×1 → 3×3(stride) → 1×1 bottleneck of RAFT-small's encoders
+    (codebase/RAFT/core/extractor.py:60-117)."""
+
+    planes: int
+    norm: str = "instance"
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    # shares ResidualBlock's norm factory (same norm_fn semantics)
+    _norm = ResidualBlock._norm
+
+    @nn.compact
+    def __call__(self, x):
+        q = self.planes // 4
+        y = nn.Conv(q, (1, 1), name="conv1", dtype=self.dtype)(x)
+        y = nn.relu(self._norm("norm1", q)(y))
+        y = nn.Conv(q, (3, 3), strides=self.stride,
+                    padding=_torch_pad(3), name="conv2", dtype=self.dtype)(y)
+        y = nn.relu(self._norm("norm2", q)(y))
+        y = nn.Conv(self.planes, (1, 1), name="conv3", dtype=self.dtype)(y)
+        y = nn.relu(self._norm("norm3")(y))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        name="downsample", dtype=self.dtype)(x)
+            x = self._norm("norm4")(x)
         return nn.relu(x + y)
 
 
@@ -101,14 +171,17 @@ class BasicEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
-        if self.norm != "none":
+        x = nn.Conv(64, (7, 7), strides=2, padding=_torch_pad(7),
+                    name="conv1", dtype=self.dtype)(x)
+        if self.norm == "frozenbatch":
+            x = AffineNorm(64, dtype=self.dtype, name="norm1")(x)
+        elif self.norm != "none":
             x = nn.GroupNorm(
                 num_groups=None if self.norm == "instance" else 8,
                 group_size=1 if self.norm == "instance" else None,
                 use_bias=self.norm != "instance",
                 use_scale=self.norm != "instance",
-                name="norm1", dtype=self.dtype,
+                epsilon=NORM_EPS, name="norm1", dtype=self.dtype,
             )(x)
         x = nn.relu(x)
         for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
@@ -129,17 +202,18 @@ class SmallEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
+        x = nn.Conv(32, (7, 7), strides=2, padding=_torch_pad(7),
+                    name="conv1", dtype=self.dtype)(x)
         if self.norm == "instance":
             x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                             use_scale=False, name="norm1",
+                             use_scale=False, epsilon=NORM_EPS, name="norm1",
                              dtype=self.dtype)(x)
         x = nn.relu(x)
         for i, (planes, stride) in enumerate([(32, 1), (64, 2), (96, 2)]):
-            x = ResidualBlock(planes, self.norm, stride, self.dtype,
-                              name=f"layer{i}_0")(x)
-            x = ResidualBlock(planes, self.norm, 1, self.dtype,
-                              name=f"layer{i}_1")(x)
+            x = BottleneckBlock(planes, self.norm, stride, self.dtype,
+                                name=f"layer{i}_0")(x)
+            x = BottleneckBlock(planes, self.norm, 1, self.dtype,
+                                name=f"layer{i}_1")(x)
         return nn.Conv(self.output_dim, (1, 1), name="conv2",
                        dtype=self.dtype)(x)
 
@@ -225,14 +299,22 @@ def alternate_corr_lookup(
     Mathematically equal to ``corr_lookup`` over the all-pairs pyramid
     (average-pooling the volume over the fmap2 axes commutes with the
     correlation), but never materialises the [B,H,W,H,W] volume.
+
+    The Pallas kernel emits the natural (dy outer, dx inner) window order
+    (alt_cuda_corr semantics); each level is transposed here to
+    ``corr_lookup``'s CorrBlock order so the two corr modes are
+    interchangeable under one set of weights (incl. converted torch
+    checkpoints — see corr_lookup's docstring).
     """
     from nsof_tpu.ops.correlation import windowed_correlation_mxu
 
-    c = fmap1.shape[-1]
-    out = [
-        windowed_correlation_mxu(fmap1, f2, coords / (2**lvl), radius)
-        for lvl, f2 in enumerate(fmap2_pyramid)
-    ]
+    b, h, w, c = fmap1.shape
+    n = 2 * radius + 1
+    out = []
+    for lvl, f2 in enumerate(fmap2_pyramid):
+        win = windowed_correlation_mxu(fmap1, f2, coords / (2**lvl), radius)
+        win = win.reshape(b, h, w, n, n).swapaxes(-1, -2).reshape(b, h, w, -1)
+        out.append(win)
     return jnp.concatenate(out, axis=-1) / jnp.sqrt(jnp.float32(c))
 
 
@@ -259,6 +341,14 @@ def corr_lookup(pyramid: Sequence[Array], coords: Array, radius: int) -> Array:
 
     coords: [B, H, W, 2] current target coordinates at 1/8 res.
     Returns [B, H, W, levels*(2r+1)²].
+
+    Window-flattening order reproduces the reference's quirk exactly: the
+    CorrBlock adds ``stack(meshgrid(dy, dx))`` to *(x, y)* coords
+    (core/corr.py:36-43), so the OUTER index of the flattened (2r+1)² window
+    moves along x and the inner one along y — the transpose of the natural
+    row-major order.  Harmless for training (weights absorb any fixed
+    permutation) but load-bearing for torch-checkpoint conversion
+    (nsof_tpu.models.convert): convc1's weights consume this exact order.
     """
     b, h, w, _ = coords.shape
     r = radius
@@ -269,12 +359,12 @@ def corr_lookup(pyramid: Sequence[Array], coords: Array, radius: int) -> Array:
             indexing="ij",
         ),
         axis=-1,
-    )  # [2r+1, 2r+1, 2] as (dy, dx)
+    )  # [2r+1, 2r+1, 2]; [a, b] = (lin[a], lin[b])
     out = []
     for lvl, corr in enumerate(pyramid):
         centroid = coords.reshape(b * h * w, 1, 1, 2) / (2**lvl)
-        cx = centroid[..., 0] + delta[None, ..., 1]
-        cy = centroid[..., 1] + delta[None, ..., 0]
+        cx = centroid[..., 0] + delta[None, ..., 0]  # outer index → x
+        cy = centroid[..., 1] + delta[None, ..., 1]  # inner index → y
         sampled = bilinear_sample(corr, cx, cy)  # [BHW, 2r+1, 2r+1, 1]
         out.append(sampled.reshape(b, h, w, (2 * r + 1) ** 2))
     return jnp.concatenate(out, axis=-1)
@@ -432,14 +522,34 @@ def upsample_flow_convex(flow: Array, mask: Array) -> Array:
         axis=3,
     )  # [B, H, W, 9, 2]
     up = jnp.einsum("bhwkij,bhwkc->bhwijc", mask, neigh)
-    up = up.transpose(0, 1, 4, 2, 5, 3)  # B, H, 8, W, 8, 2
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # B, H, 8(row), W, 8(col), 2
     return up.reshape(b, 8 * h, 8 * w, 2)
 
 
 def upflow8(flow: Array) -> Array:
-    """8× bilinear upsample ×8 (core/utils/utils.py:80-82)."""
+    """8× bilinear upsample ×8 (core/utils/utils.py:80-82).
+
+    align_corners=True semantics to match ``F.interpolate(...,
+    align_corners=True)``: output pixel i samples input coordinate
+    ``i*(in-1)/(out-1)`` (jax.image.resize uses half-pixel centres, which
+    would shift converted-checkpoint flows)."""
     b, h, w, c = flow.shape
-    return 8.0 * jax.image.resize(flow, (b, 8 * h, 8 * w, c), "bilinear")
+    oh, ow = 8 * h, 8 * w
+
+    def axis_weights(n_in, n_out):
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, max(n_in - 2, 0))
+        frac = pos - lo
+        return lo, frac
+
+    ylo, yf = axis_weights(h, oh)
+    xlo, xf = axis_weights(w, ow)
+    fy0 = flow[:, ylo]
+    fy1 = flow[:, ylo + 1]
+    fy = fy0 + yf[None, :, None, None] * (fy1 - fy0)
+    fx0 = fy[:, :, xlo]
+    fx1 = fy[:, :, xlo + 1]
+    return 8.0 * (fx0 + xf[None, None, :, None] * (fx1 - fx0))
 
 
 class RAFT(nn.Module):
@@ -468,7 +578,7 @@ class RAFT(nn.Module):
             update = SmallUpdateBlock(cfg, name="update_block")
         else:
             fnet = BasicEncoder(256, "instance", dt, name="fnet")
-            cnet = BasicEncoder(hdim + cdim, "batch", dt, name="cnet")
+            cnet = BasicEncoder(hdim + cdim, cfg.cnet_norm, dt, name="cnet")
             update = BasicUpdateBlock(cfg, name="update_block")
 
         fmap1 = fnet(img1).astype(jnp.float32)

@@ -19,8 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nsof_tpu.models.raft import RAFT, RaftConfig
 from nsof_tpu.parallel.mesh import shard_params_conv_tp
-from nsof_tpu.train.loss import sequence_loss
-from nsof_tpu.train.optim import raft_optimizer
+from nsof_tpu.train.loss import flowformer_sequence_loss, sequence_loss
+from nsof_tpu.train.optim import flowformer_optimizer, raft_optimizer
 
 
 @dataclasses.dataclass
@@ -107,12 +107,14 @@ def create_flowformer_state(
     mesh: Mesh,
     cfg=None,
     image_hw: tuple[int, int] = (96, 128),
-    lr: float = 2e-4,
-    num_steps: int = 100_000,
+    lr: float | None = None,
+    num_steps: int | None = None,
+    twins_lr_factor: float | None = None,
 ):
     """Sharded FlowFormer training state: data-parallel only (the
     reference trains it with DataParallel, train_FlowFormer.py:57);
-    params replicated over the mesh."""
+    params replicated over the mesh.  ``twins_lr_factor`` trains the
+    twins backbones at a reduced lr (optimizer/__init__.py:22-33)."""
     from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
 
     cfg = cfg or FlowFormerConfig()
@@ -128,7 +130,14 @@ def create_flowformer_state(
     params = jax.jit(
         init_fn, out_shardings=jax.tree.map(lambda _: repl, abstract)
     )(rng)
-    tx = raft_optimizer(lr=lr, num_steps=num_steps)
+    tx = flowformer_optimizer(
+        lr=cfg.canonical_lr if lr is None else lr,
+        num_steps=cfg.num_steps if num_steps is None else num_steps,
+        wdecay=cfg.adamw_decay,
+        eps=cfg.epsilon,
+        clip=cfg.clip,
+        twins_lr_factor=twins_lr_factor,
+    )
     opt_state = jax.jit(
         tx.init,
         out_shardings=jax.tree.map(
@@ -150,7 +159,7 @@ def make_flowformer_step(model, tx, mesh: Mesh, gamma: float = 0.8):
             preds = model.apply(
                 {"params": params}, batch["image1"], batch["image2"]
             )
-            loss, metrics = sequence_loss(
+            loss, metrics = flowformer_sequence_loss(
                 preds, batch["flow"], batch["valid"], gamma
             )
             return loss, metrics

@@ -73,6 +73,10 @@ def test_windowed_correlation_matches_allpairs_lookup(rng):
     )
     r = 2
     got = np.asarray(windowed_correlation(f1, f2, coords, r)) / np.sqrt(c)
+    # windowed_correlation emits the natural (dy outer, dx inner) order;
+    # corr_lookup reproduces CorrBlock's transposed quirk (core/corr.py:36-43)
+    n = 2 * r + 1
+    got = got.reshape(b, h, w, n, n).swapaxes(-1, -2).reshape(b, h, w, -1)
 
     pyramid = build_corr_pyramid(all_pairs_correlation(f1, f2), 1)
     want = np.asarray(corr_lookup(pyramid, coords, r))

@@ -65,3 +65,64 @@ def test_gt_tooling_brightness_segmenter(tmp_path):
     m1 = cv2.imread(res[1].mask_path, cv2.IMREAD_GRAYSCALE)
     assert (m0 > 0).sum() > 100  # bright square found
     assert (m1 > 0).sum() == 0  # black frame → all-black mask
+
+
+def test_gt_tooling_box_proposer_stage(tmp_path):
+    """Text→boxes grounding stage ahead of the mask predictor
+    (lang_sam.py:91-123's predict_dino→predict_sam split), exercised
+    weightless with the brightness stand-ins."""
+    import cv2
+
+    from nsof_tpu.data.gt_tooling import (
+        BrightnessBoxProposer,
+        generate_gt_masks,
+    )
+
+    img = np.zeros((40, 48, 3), np.uint8)
+    img[10:20, 12:30] = 255
+    boxes = BrightnessBoxProposer(thresh=128, min_area=10)(
+        img, "bright object"
+    )
+    assert boxes == [[12.0, 10.0, 30.0, 20.0]]
+    assert BrightnessBoxProposer()(img, "dark thing") != []  # polarity
+
+    # box-driven segmenter: masks are the proposed boxes (the SAM slot,
+    # substituted weightless so the chain runs offline)
+    class BoxFillSegmenter:
+        def __init__(self, proposer):
+            self.proposer = proposer
+
+        def __call__(self, image_rgb, text_prompt):
+            out = []
+            for x0, y0, x1, y1 in self.proposer(image_rgb, text_prompt):
+                m = np.zeros(image_rgb.shape[:2], bool)
+                m[int(y0):int(y1), int(x0):int(x1)] = True
+                out.append(m)
+            return out
+
+    img_dir = tmp_path / "RGB"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "1.png"), img)
+    (tmp_path / "imgs.txt").write_text("1.png")
+    res = generate_gt_masks(
+        img_dir, tmp_path / "imgs.txt", tmp_path / "gtmask",
+        "bright object",
+        BoxFillSegmenter(BrightnessBoxProposer(thresh=128, min_area=10)),
+    )
+    m = cv2.imread(res[0].mask_path, cv2.IMREAD_GRAYSCALE)
+    assert (m[10:20, 12:30] > 0).all() and (m > 0).sum() == 10 * 18
+
+
+def test_gt_tooling_lang_sam_chain_structure():
+    """lang_sam_segmenter wires OWL-ViT→SAM; without local weights the
+    constructor raising (offline) is acceptable — the chain structure is
+    what's under test."""
+    import pytest
+
+    from nsof_tpu.data import gt_tooling as gt
+
+    try:
+        seg = gt.lang_sam_segmenter()
+    except Exception:
+        pytest.skip("pretrained OWL-ViT/SAM weights not cached locally")
+    assert isinstance(seg.box_proposer, gt.OwlVitBoxProposer)

