@@ -51,6 +51,10 @@ class PipelineConfig:
     sep_window_w: Optional[int] = None
     merge_flag: bool = True
     offset: int = 0  # OFFSET into the state matrix (optical_flow_seg.py:37)
+    # Audited per-level warp radius for the fast Farnebäck path (see the
+    # accuracy contract in nsof_tpu/ops/farneback_fast.py and the per-scene
+    # audit in scripts/audit_fast_path.py / results/fast_audit.json).
+    warp_radius: int = 3
 
     @property
     def win_shape(self) -> tuple[int, int]:

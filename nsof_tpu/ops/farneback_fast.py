@@ -772,6 +772,7 @@ def _update_matrices_sep_cm(
     return pl.pallas_call(
         kernel,
         grid=(hp // th, wp // tw, b // 128),
+        compiler_params=_vmem_params(th),
         in_specs=[
             pl.BlockSpec((th, tw, 128), lambda i, j, k: (i, j, k),
                          memory_space=pltpu.VMEM),
@@ -844,6 +845,20 @@ def _win_sum_tree(a, axis: int, n_out: int, off0: int, win: int):
             out = part if out is None else out + part
             pos += 1 << kbit
     return out
+
+
+def _vmem_params(th: int):
+    """Raise Mosaic's VMEM scoped limit for tall tiles (the default is a
+    conservative 16 MB; v5e has far more physical VMEM — tall tiles
+    amortize the row-halo overlap and the running-sum init)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if th <= 16:
+        return None
+    params_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams"
+    )
+    return params_cls(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _fused_box_update_kernel(
@@ -1047,6 +1062,7 @@ def _fused_box_update_cm(
     out = pl.pallas_call(
         kernel,
         grid=(hp // th, wp // tw, b // 128),
+        compiler_params=_vmem_params(th),
         in_specs=[
             pl.BlockSpec((th, tw, 1), lambda i, j, k: (i, j, 0),
                          memory_space=pltpu.VMEM),

@@ -24,7 +24,7 @@ from nsof_tpu.pipelines.segmentation import seg_batch_fast
 def make_sharded_seg_batch(
     mesh: Mesh,
     cfg: PipelineConfig,
-    warp_radius: int = 3,
+    warp_radius: int | None = None,
     kernel_mode: str = "auto",
 ):
     """Returns a jitted fn(mem [B,gh,gw], prev [B,H,W], next [B,H,W]) with

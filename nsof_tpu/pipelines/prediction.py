@@ -91,13 +91,15 @@ def prediction_batch_fast(
     next_gray: Array,
     next_frame: Array,
     cfg: PipelineConfig,
-    warp_radius: int = 3,
+    warp_radius: int | None = None,
     kernel_mode: str = "auto",
 ) -> dict[str, Array]:
     """Throughput prediction: batched ROI gating + fast Farnebäck + vmapped
     region warp (same semantics as :func:`prediction_step` vmapped)."""
     from nsof_tpu.ops.farneback_fast import farneback_fast
 
+    if warp_radius is None:
+        warp_radius = cfg.warp_radius
     h, w = cfg.image_h, cfg.image_w
     wh, ww = cfg.win_shape
     r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)

@@ -237,15 +237,17 @@ def seg_head_window_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "warp_radius", "kernel_mode")
+    jax.jit,
+    static_argnames=("cfg", "warp_radius", "kernel_mode", "return_flow"),
 )
 def seg_batch_fast(
     mem_u8: Array,
     prev_gray: Array,
     next_gray: Array,
     cfg: PipelineConfig,
-    warp_radius: int = 3,
+    warp_radius: int | None = None,
     kernel_mode: str = "auto",
+    return_flow: bool = False,
 ) -> dict[str, Array]:
     """Throughput path: batched ROI gating + the TPU fast Farnebäck.
 
@@ -253,9 +255,17 @@ def seg_batch_fast(
     :func:`nsof_tpu.ops.farneback_fast.farneback_fast` (batch-in-lanes
     layout, Pallas-fused warp) — see that module for its accuracy contract
     vs the exact OpenCV-parity path.
+
+    ``warp_radius=None`` uses the dataset preset's audited radius
+    (``cfg.warp_radius``, selected by scripts/audit_fast_path.py).
+    ``return_flow=True`` adds the scattered full-image ``flow`` [B,H,W,2]
+    (negated, zeros outside the ROI — seg_step's semantics) for accuracy
+    audits; the throughput path skips it.
     """
     from nsof_tpu.ops.farneback_fast import farneback_fast
 
+    if warp_radius is None:
+        warp_radius = cfg.warp_radius
     h, w = cfg.image_h, cfg.image_w
     wh, ww = cfg.win_shape
     r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)
@@ -294,7 +304,7 @@ def seg_batch_fast(
             jnp.zeros((h, w), jnp.uint8), mw, bx, (oy, ox)
         )
     )(mask_win, box, origins[0], origins[1])
-    return {
+    out = {
         "mask": mask,
         "box": box,
         "any_active": active,
@@ -302,6 +312,19 @@ def seg_batch_fast(
             lambda bx: roi_ops.region_percentage(bx, h, w)
         )(box),
     }
+    if return_flow:
+        # [wh, ww, B] planes → [B, wh, ww, 2], negated (optical_flow_
+        # seg.py:461), zeroed outside the box, scattered like seg_step
+        flow_win = jnp.stack(
+            [-dxp.transpose(2, 0, 1), -dyp.transpose(2, 0, 1)], axis=-1
+        )
+        flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+        out["flow"] = jax.vmap(
+            lambda fw, bx, oy, ox: roi_ops.scatter_window(
+                jnp.zeros((h, w, 2), jnp.float32), fw, bx, (oy, ox)
+            )
+        )(flow_win, box, origins[0], origins[1])
+    return out
 
 
 def pixel_accuracy(pred: Array, gt: Array) -> Array:

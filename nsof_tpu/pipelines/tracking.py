@@ -122,7 +122,7 @@ def tracking_batch_fast(
     prev_gray: Array,
     next_gray: Array,
     cfg: PipelineConfig,
-    warp_radius: int = 3,
+    warp_radius: int | None = None,
     kernel_mode: str = "auto",
 ) -> dict[str, Array]:
     """Throughput tracking: batched ROI gating + fast Farnebäck + vmapped
@@ -130,6 +130,8 @@ def tracking_batch_fast(
     farneback_fast for the flow accuracy contract)."""
     from nsof_tpu.ops.farneback_fast import farneback_fast
 
+    if warp_radius is None:
+        warp_radius = cfg.warp_radius
     h, w = cfg.image_h, cfg.image_w
     wh, ww = cfg.win_shape
     r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, cfg.roi))(mem_u8)
