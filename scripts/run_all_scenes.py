@@ -66,9 +66,11 @@ def main(data_root="/root/reference/data", out_md="RESULTS.md"):
     ]
     for name in names:
         try:
+            import os
             proc = subprocess.run(
                 [sys.executable, __file__, "--one", name, data_root],
-                capture_output=True, text=True, timeout=5400,
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("SCENE_TIMEOUT_S", "5400")),
                 cwd=str(pathlib.Path(__file__).resolve().parent.parent),
             )
             out_text, err_text = proc.stdout, proc.stderr

@@ -25,6 +25,14 @@ os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 
 import jax  # noqa: E402
 
+if os.environ.get("NSOF_TEST_CPU"):
+    # Fast-tier escape hatch: force the CPU backend even when a remote-TPU
+    # site hook rewrites JAX_PLATFORMS.  jax.config wins as long as no
+    # backend has been initialised yet (plugins import jax but don't
+    # create devices at import time).  Pallas-kernel tests guarded by
+    # ON_TPU skip themselves under this mode.
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

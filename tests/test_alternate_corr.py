@@ -12,6 +12,7 @@ from nsof_tpu.models.raft import RAFT, RaftConfig
 ON_TPU = jax.default_backend() == "tpu"
 
 
+@pytest.mark.slow
 def test_alternate_matches_allpairs():
     """Same params, same inputs: the AlternateCorrBlock-style lookup must
     reproduce the all-pairs pyramid lookup (pooling commutes with the

@@ -118,6 +118,7 @@ def torch_raft_module():
 
 
 @pytest.mark.parametrize("small", [False, True], ids=["basic", "small"])
+@pytest.mark.slow
 def test_forward_parity_vs_reference_torch(torch_raft_module, small):
     """Converted weights reproduce the reference torch forward.
 
@@ -189,6 +190,7 @@ def _find_reference_checkpoint():
     return None
 
 
+@pytest.mark.slow
 def test_pretrained_checkpoint_on_demo_frames():
     """When a real reference checkpoint is present (download_models.sh),
     it must load and produce physically sane flow on a demo-frames pair

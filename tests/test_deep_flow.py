@@ -34,6 +34,7 @@ def test_resize_third_shape():
 
 
 @requires_reference_data
+@pytest.mark.slow
 def test_deep_roi_step_on_scene(raft_backend):
     from nsof_tpu.data import load_scene
 
@@ -66,6 +67,7 @@ def test_deep_roi_step_on_scene(raft_backend):
         np.testing.assert_allclose(fl, 0)
 
 
+@pytest.mark.slow
 def test_deep_full_step(raft_backend):
     cfg_like = dataclasses.replace(
         __import__("nsof_tpu.config", fromlist=["DATASETS"]).DATASETS[
@@ -80,6 +82,7 @@ def test_deep_full_step(raft_backend):
     assert out["flow"].shape == (53, 53, 2)
 
 
+@pytest.mark.slow
 def test_min_region_skip(raft_backend):
     """Regions below 64 px are skipped (raft_seg.py:133-135)."""
     from nsof_tpu.config import DATASETS
@@ -98,6 +101,7 @@ def test_min_region_skip(raft_backend):
     np.testing.assert_allclose(np.asarray(out["flow"]), 0.0)
 
 
+@pytest.mark.slow
 def test_deep_tracking_and_prediction_steps(raft_backend):
     """Deep ob/prediction heads share the seg gating (raft_ob.py /
     raft_prediction.py semantics: 1/3 res, MEMSIZE/3, no negation)."""

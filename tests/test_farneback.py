@@ -77,6 +77,7 @@ def _synthetic_pair(rng, h=120, w=160, dx=-1.7, dy=2.4):
 
 
 @pytest.mark.parametrize("preset", list(PRESETS))
+@pytest.mark.slow
 def test_synthetic_parity(rng, preset):
     p = PRESETS[preset]
     img0, img1 = _synthetic_pair(rng)
@@ -108,6 +109,7 @@ def test_recovers_known_translation(rng):
 
 @requires_reference_data
 @pytest.mark.parametrize("preset", ["grasp", "tabletennis"])
+@pytest.mark.slow
 def test_real_frame_parity(preset):
     d = REFERENCE_DATA / "tabletennis" / "RGB"
     frames = sorted(d.iterdir(), key=lambda f: int(f.stem))
@@ -118,6 +120,7 @@ def test_real_frame_parity(preset):
 
 
 @requires_reference_data
+@pytest.mark.slow
 def test_cv2_border_is_asymmetric_ours_is_not():
     """Documents why parity uses the two-orientation min: cv2 disagrees
     with its own flipped output at the right/bottom border; ours doesn't."""
@@ -142,6 +145,7 @@ def test_cv2_border_is_asymmetric_ours_is_not():
     assert np.abs(mapped - ours).max() < 1e-2  # ours is flip-symmetric
 
 
+@pytest.mark.slow
 def test_batch_matches_single(rng):
     p = FarnebackParams(0.5, 2, 9, 2, 5, 1.1)
     img0, img1 = _synthetic_pair(rng, h=64, w=80)

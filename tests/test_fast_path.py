@@ -31,6 +31,7 @@ def _shifted_pair(rng, b=8, h=96, w=128, dx=-1.7, dy=2.4):
     return img0, img1
 
 
+@pytest.mark.slow
 def test_fast_matches_exact_for_small_flows(rng):
     p = FarnebackParams(0.5, 2, 9, 2, 5, 1.1)
     img0, img1 = _shifted_pair(rng)

@@ -18,6 +18,7 @@ def tt_scene():
     return load_scene(REFERENCE_DATA, "tabletennis", max_frames=8)
 
 
+@pytest.mark.slow
 def test_tracking_batch_fast_produces_boxes(tt_scene):
     from nsof_tpu.pipelines.tracking import tracking_batch_fast
 
@@ -36,6 +37,7 @@ def test_tracking_batch_fast_produces_boxes(tt_scene):
     assert (b[:, 0] >= 0).all() and (b[:, 2] <= scene.cfg.image_w).all()
 
 
+@pytest.mark.slow
 def test_prediction_batch_fast_matches_step(tt_scene):
     from nsof_tpu.pipelines.prediction import (
         prediction_batch_fast,

@@ -16,6 +16,7 @@ def small_imgs(rng=None):
     return jnp.asarray(a), jnp.asarray(b)
 
 
+@pytest.mark.slow
 def test_raft_small_forward(small_imgs):
     a, b = small_imgs
     model = RAFT(RaftConfig(small=True, iters=2))
@@ -26,6 +27,7 @@ def test_raft_small_forward(small_imgs):
     assert np.isfinite(np.asarray(flows[-1])).all()
 
 
+@pytest.mark.slow
 def test_raft_basic_shapes_and_test_mode(small_imgs):
     a, b = small_imgs
     model = RAFT(RaftConfig(small=False, iters=2))
@@ -58,6 +60,7 @@ def test_convex_upsample_constant_flow():
     assert up[0, 0, 0, 0] < 16.0
 
 
+@pytest.mark.slow
 def test_raft_gradients_flow(small_imgs):
     a, b = small_imgs
     model = RAFT(RaftConfig(small=True, iters=2))
@@ -86,6 +89,7 @@ def test_sequence_loss_metrics():
     assert float(loss) == pytest.approx(0.8 * 1.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_flowformer_forward_and_grads():
     from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
 
@@ -107,6 +111,7 @@ def test_flowformer_forward_and_grads():
     assert all(np.isfinite(float(jnp.abs(x).max())) for x in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_flowformer_twins_backbone_shape():
     from nsof_tpu.models.flowformer.twins import TwinsSVTLarge2Stage
 
@@ -117,6 +122,7 @@ def test_flowformer_twins_backbone_shape():
     assert out.shape == (1, 8, 12, 256)
 
 
+@pytest.mark.slow
 def test_tiled_inference_covers_image():
     from nsof_tpu.models.flowformer import (
         compute_grid_indices,

@@ -113,12 +113,15 @@ def test_gt_tooling_box_proposer_stage(tmp_path):
     assert (m[10:20, 12:30] > 0).all() and (m > 0).sum() == 10 * 18
 
 
-def test_gt_tooling_lang_sam_chain_structure():
+def test_gt_tooling_lang_sam_chain_structure(monkeypatch):
     """lang_sam_segmenter wires OWL-ViT→SAM; without local weights the
     constructor raising (offline) is acceptable — the chain structure is
-    what's under test."""
+    what's under test.  HF_HUB_OFFLINE makes the no-cache case fail fast
+    instead of waiting out connection retries."""
     import pytest
 
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
     from nsof_tpu.data import gt_tooling as gt
 
     try:

@@ -38,6 +38,7 @@ def test_mesh_shapes():
     )
 
 
+@pytest.mark.slow
 def test_sharded_seg_inference_matches_single_device():
     """shard_map'd seg_batch_fast over 8 devices == unsharded result."""
     run_in_cpu_subprocess(

@@ -70,6 +70,7 @@ def _reference_seg_pair(mem2, prev_gray, next_gray, cfg):
     return motion_binary, (x0, y0, x1, y1)
 
 
+@pytest.mark.slow
 def test_seg_pipeline_matches_reference(tt_scene):
     from nsof_tpu.pipelines.segmentation import seg_step
 
@@ -91,6 +92,7 @@ def test_seg_pipeline_matches_reference(tt_scene):
     assert np.mean(agree) > 0.98, f"mask agreement {np.mean(agree)}"
 
 
+@pytest.mark.slow
 def test_seg_batch_runner(tt_scene):
     from nsof_tpu.pipelines.runner import run_segmentation
 
@@ -103,6 +105,7 @@ def test_seg_batch_runner(tt_scene):
         assert res.metrics["mem_pa_mean"] > 50.0
 
 
+@pytest.mark.slow
 def test_tracking_pipeline_boxes(tt_scene):
     from nsof_tpu.pipelines.runner import run_tracking
 
@@ -114,6 +117,7 @@ def test_tracking_pipeline_boxes(tt_scene):
         assert res.metrics["mean_iou"] >= 0.0
 
 
+@pytest.mark.slow
 def test_prediction_pipeline_ssim(tt_scene):
     from nsof_tpu.pipelines.runner import run_prediction
 
@@ -123,6 +127,7 @@ def test_prediction_pipeline_ssim(tt_scene):
     assert res.metrics["mean_ssim"] > 0.5
 
 
+@pytest.mark.slow
 def test_prediction_matches_reference_warp(tt_scene):
     """Single-pair golden test of the warp head vs cv2.remap."""
     from nsof_tpu.pipelines.prediction import prediction_step
@@ -217,6 +222,7 @@ def _reference_tracking_head(flow_win, inbox, origin_yx, seg_th):
     return boxes[keep][:, :4]
 
 
+@pytest.mark.slow
 def test_tracking_head_matches_reference(tt_scene):
     """Our tracking head vs the cv2 transliteration on the SAME flow
     input; boxes compared by best-match IoU (contourArea-vs-pixel-count

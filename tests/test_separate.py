@@ -89,6 +89,7 @@ def _reference_seg_pair_flag1(mem2, prev_gray, next_gray, cfg, merge=True):
 
 
 @pytest.mark.parametrize("merge", [True, False])
+@pytest.mark.slow
 def test_seg_separate_matches_reference(tt_scene, tt_cfg_sep, merge):
     from nsof_tpu.pipelines.separate import seg_step_separate
 
@@ -122,6 +123,7 @@ def test_seg_separate_matches_reference(tt_scene, tt_cfg_sep, merge):
     assert np.mean(agree) > thr, f"mask agreement {np.mean(agree)}"
 
 
+@pytest.mark.slow
 def test_separate_flow_matches_merged_for_single_component(tt_scene):
     """With one active component, the FLAG=1 field inside the box equals
     the FLAG=2 windowed flow (same box, same window semantics)."""
@@ -191,6 +193,7 @@ def test_uav_flag1_agreement_and_pixel_accuracy_pin():
     )
 
 
+@pytest.mark.slow
 def test_tracking_prediction_separate_run(tt_scene, tt_cfg_sep):
     from nsof_tpu.pipelines.separate import (
         prediction_step_separate,
