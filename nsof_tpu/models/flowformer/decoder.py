@@ -140,7 +140,7 @@ class DecoderCrossAttention(nn.Module):
         qc_enc = linear_position_embedding(qc, dim).astype(dt)
 
         short_cut = query
-        qn = nn.LayerNorm(dtype=dt, name="norm1")(query)
+        qn = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm1")(query)
         if c.add_flow_token:
             q = nn.Dense(dim, dtype=dt, name="q")(qn + qc_enc)
         else:
@@ -150,7 +150,7 @@ class DecoderCrossAttention(nn.Module):
             jnp.concatenate([x, short_cut], axis=-1)
         )
         x = short_cut + x
-        y = nn.LayerNorm(dtype=dt, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="norm2")(x)
         return x + Mlp(dim, dim, dt, name="ffn")(y)
 
 
@@ -180,9 +180,11 @@ class MemoryDecoder(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        # flow-token encoder: 81-channel cost window → query_latent_dim
+        # flow-token encoder: 81·heads cost window → query_latent_dim
+        # (decoder.py:157-161: Conv(81·heads→dim) → GELU → Conv(dim→dim))
         flow_token_encoder = nn.Sequential(
-            [nn.Conv(128, (1, 1), dtype=dt), nn.gelu,
+            [nn.Conv(c.query_latent_dim, (1, 1), dtype=dt),
+             lambda x: nn.gelu(x, approximate=False),
              nn.Conv(c.query_latent_dim, (1, 1), dtype=dt)],
             name="flow_token_encoder",
         )

@@ -94,7 +94,8 @@ class CostPatchEmbed(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(2 * d, (1, 1), dtype=self.dtype, name="ffn1")(x)
         x = x.reshape(n, h3 * w3, 2 * d)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x), (h3, w3)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="norm")(x), (h3, w3)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -108,7 +109,7 @@ class CrossAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, query, target):
         short_cut = query
-        qn = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
+        qn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(query)
         q = nn.Dense(self.query_dim, dtype=self.dtype, name="q")(qn)
         k = nn.Dense(self.query_dim, dtype=self.dtype, name="k")(target)
         v = nn.Dense(self.query_dim, dtype=self.dtype, name="v")(target)
@@ -116,7 +117,7 @@ class CrossAttentionLayer(nn.Module):
                                name="attn")(q, k, v)
         x = nn.Dense(self.query_dim, dtype=self.dtype, name="proj")(x)
         x = short_cut + x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + Mlp(self.query_dim, self.query_dim, self.dtype,
                        name="ffn")(y)
 
@@ -129,7 +130,7 @@ class SelfAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         short_cut = x
-        xn = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         q = nn.Dense(self.dim, dtype=self.dtype, name="q")(xn)
         k = nn.Dense(self.dim, dtype=self.dtype, name="k")(xn)
         v = nn.Dense(self.dim, dtype=self.dtype, name="v")(xn)
@@ -137,15 +138,32 @@ class SelfAttentionLayer(nn.Module):
                                name="attn")(q, k, v)
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj")(y)
         x = short_cut + y
-        z = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return x + Mlp(self.dim, self.dim, self.dtype, name="ffn")(z)
 
 
 class VerticalAttentionLayer(nn.Module):
     """Attention across source pixels per latent token: local window block
     followed by a global sub-sampled block, both context-conditioned
-    (VerticalSelfAttentionLayer, encoder.py:107-135; context enters the
-    q/k path via a 256→vert_c_dim projection, twins.py:306-355)."""
+    (VerticalSelfAttentionLayer, encoder.py:108-135 → twins Block with
+    with_rpe=True, vert_c_dim>0, i.e. LocallyGroupedAttnRPEContext /
+    GlobalSubSampleAttnRPEContext, twins.py:229-393).
+
+    Reference-exact details: each block has its OWN 256→vert_c_dim context
+    projection; q/k consume concat(x, ctx) + LinearPositionEmbeddingSine
+    (within-window ws×ws coords for the local block, padded-grid coords
+    for the global q, sr-scaled subsampled coords for the global k); the
+    global block normalizes BOTH the sr_key and sr_value conv outputs with
+    the SAME LayerNorm (twins.py:368-372); all norms are torch-default
+    eps=1e-5 except the Block norms (default LayerNorm, also 1e-5 here —
+    the vertical Blocks are built without timm's 1e-6 partial,
+    encoder.py:125-127).
+
+    Known reference quirk NOT reproduced: for batch>1 the torch code tiles
+    the context k-major (`context.repeat(B//ctx, ...)`) while the latent
+    tokens are laid out b-major — misaligning context and tokens.  We pair
+    them correctly (b-major), which is identical at B=1 (the reference's
+    eval batch size)."""
 
     dim: int
     vert_c_dim: int
@@ -159,19 +177,32 @@ class VerticalAttentionLayer(nn.Module):
         # x: [B*K, H1, W1, D]; context: [B, H1, W1, 256]
         bk, h1, w1, d = x.shape
         b = context.shape[0]
-        ctx = nn.Dense(self.vert_c_dim, dtype=self.dtype,
-                       name="context_proj")(context)
-        ctx = jnp.repeat(ctx, bk // b, axis=0)
+        d_qk = d + self.vert_c_dim
+
+        def grid_pe(h, w, scale=1.0, dim=d_qk):
+            xs = jnp.arange(w, dtype=jnp.float32) * scale
+            ys = jnp.arange(h, dtype=jnp.float32) * scale
+            coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+            return linear_position_embedding(coords, dim)
 
         def local_block(x, name):
-            xn = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm1")(x)
-            x_qk = jnp.concatenate([xn, ctx], axis=-1)
+            ctx = nn.Dense(self.vert_c_dim, dtype=self.dtype,
+                           name=f"{name}_ctx")(context)
+            ctx = jnp.repeat(ctx, bk // b, axis=0)
+            xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name=f"{name}_norm1")(x)
+            x_qk = jnp.concatenate([xn, ctx.astype(xn.dtype)], axis=-1)
             ws = self.ws
             pad_b = (-h1) % ws
             pad_r = (-w1) % ws
             pads = ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
             xq = jnp.pad(x_qk, pads)
             xv = jnp.pad(xn, pads)
+            # within-window RPE (twins.py:285-289): LPE of the ws×ws
+            # coords, same for every window — tile across the padded grid
+            pe = grid_pe(ws, ws)
+            pe = jnp.tile(pe, ((h1 + pad_b) // ws, (w1 + pad_r) // ws, 1))
+            xq = xq + pe[None].astype(xq.dtype)
             q = nn.Dense(d, dtype=self.dtype, name=f"{name}_q")(xq)
             k = nn.Dense(d, dtype=self.dtype, name=f"{name}_k")(xq)
             v = nn.Dense(d, dtype=self.dtype, name=f"{name}_v")(xv)
@@ -196,23 +227,38 @@ class VerticalAttentionLayer(nn.Module):
             )[:, :h1, :w1]
             out = nn.Dense(d, dtype=self.dtype, name=f"{name}_proj")(out)
             x = x + out
-            z = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm2")(x)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"{name}_norm2")(x)
             return x + Mlp(4 * d, d, self.dtype, name=f"{name}_mlp")(z)
 
         def global_block(x, name):
-            xn = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm1")(x)
-            x_qk = jnp.concatenate([xn, ctx], axis=-1)
-            q = nn.Dense(d, dtype=self.dtype, name=f"{name}_q")(x_qk)
+            ctx = nn.Dense(self.vert_c_dim, dtype=self.dtype,
+                           name=f"{name}_ctx")(context)
+            ctx = jnp.repeat(ctx, bk // b, axis=0)
+            xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name=f"{name}_norm1")(x)
+            x_qk = jnp.concatenate([xn, ctx.astype(xn.dtype)], axis=-1)
             sr = self.sr_ratio
             pad_b = (-h1) % sr
             pad_r = (-w1) % sr
+            hp, wp = h1 + pad_b, w1 + pad_r
             xk = jnp.pad(x_qk, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
             xv = jnp.pad(xn, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            # q: full padded-grid RPE at dim C_qk (twins.py:358-364)
+            q_in = xk + grid_pe(hp, wp)[None].astype(xk.dtype)
+            q = nn.Dense(d, dtype=self.dtype, name=f"{name}_q")(q_in)
             ks = nn.Conv(d, (sr, sr), strides=sr, dtype=self.dtype,
                          name=f"{name}_srk")(xk)
             vs = nn.Conv(d, (sr, sr), strides=sr, dtype=self.dtype,
                          name=f"{name}_srv")(xv)
-            ks = nn.LayerNorm(dtype=self.dtype, name=f"{name}_srnorm")(ks)
+            # ONE shared LayerNorm on both conv outputs (twins.py:368-372)
+            srnorm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name=f"{name}_srnorm")
+            ks = srnorm(ks)
+            vs = srnorm(vs)
+            # k: subsampled-grid RPE, coords × sr, dim C (twins.py:374-378)
+            ks = ks + grid_pe(hp // sr, wp // sr, scale=float(sr),
+                              dim=d)[None].astype(ks.dtype)
             k = nn.Dense(d, dtype=self.dtype, name=f"{name}_k")(ks)
             v = nn.Dense(d, dtype=self.dtype, name=f"{name}_v")(vs)
             q2 = rearrange(q, "b x y (h dd) -> b h (x y) dd", h=self.heads)
@@ -225,10 +271,12 @@ class VerticalAttentionLayer(nn.Module):
             )
             attn = nn.softmax(attn, axis=-1).astype(v2.dtype)
             out = jnp.einsum("bhij,bhjd->bhid", attn, v2)
-            out = rearrange(out, "b h (x y) dd -> b x y (h dd)", x=h1)
+            out = rearrange(out, "b h (x y) dd -> b x y (h dd)", x=hp)
+            out = out[:, :h1, :w1]
             out = nn.Dense(d, dtype=self.dtype, name=f"{name}_proj")(out)
             x = x + out
-            z = nn.LayerNorm(dtype=self.dtype, name=f"{name}_norm2")(x)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"{name}_norm2")(x)
             return x + Mlp(4 * d, d, self.dtype, name=f"{name}_mlp")(z)
 
         x = local_block(x, "local")

@@ -31,7 +31,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU (erf)
         return nn.Dense(self.out, dtype=self.dtype)(x)
 
 
@@ -95,7 +95,8 @@ class GlobalSubSampleAttn(nn.Module):
                 dtype=self.dtype,
                 name="sr",
             )(x)
-            kv_in = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(kv_in)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="sr_norm")(kv_in)
         else:
             kv_in = x
         k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in)
@@ -134,8 +135,9 @@ class TwinsBlock(nn.Module):
             attn = LocallyGroupedAttn(
                 self.dim, self.num_heads, self.ws, self.dtype, name="attn"
             )
-        x = x + attn(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + attn(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name="norm1")(x))
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim * self.mlp_ratio, self.dim, self.dtype,
                     name="mlp")(y)
         return x
@@ -170,7 +172,8 @@ class TwinsSVTStage(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.dim, (self.patch, self.patch), strides=self.patch,
                     dtype=self.dtype, name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                         name="patch_norm")(x)
         for j in range(self.depth):
             ws = self.ws if j % 2 == 0 else 1  # alternate LSA / GSA
             x = TwinsBlock(self.dim, self.num_heads, ws, self.sr_ratio,
