@@ -161,9 +161,20 @@ def cmd_deep(args) -> int:
     else:
         from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
 
-        model = FlowFormer(FlowFormerConfig())
-        dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
-        params = model.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+        if getattr(args, "torch_ckpt", None):
+            # reference FF release .pth (things.pth etc., ff_seg.py:640-658)
+            from nsof_tpu.models.flowformer.convert import (
+                pretrained_flowformer,
+            )
+
+            model, variables = pretrained_flowformer(args.torch_ckpt)
+            params = variables["params"]
+        else:
+            model = FlowFormer(FlowFormerConfig())
+            dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+            params = model.init(
+                jax.random.PRNGKey(0), dummy, dummy
+            )["params"]
         backend = dfl.DeepBackend.from_flowformer(model, params)
 
     step = {
