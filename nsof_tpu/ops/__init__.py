@@ -1,6 +1,7 @@
 """Core array ops: flow, ROI, morphology, components, colorspace, warping."""
 
 from nsof_tpu.ops import (  # noqa: F401
+    canny,
     colorspace,
     components,
     farneback,
