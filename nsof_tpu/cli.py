@@ -356,6 +356,69 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Benchmark validation / submission writers (evaluate.py:21-197):
+    run a flow backend over a Sintel/KITTI/Chairs split and report EPE/F1,
+    or write the benchmark's upload files."""
+    import numpy as np
+
+    from nsof_tpu.data import flow_datasets as fd
+    from nsof_tpu.train import evaluate as ev
+
+    if args.backend == "farneback":
+        import cv2
+
+        import jax.numpy as jnp
+        from nsof_tpu.ops.farneback import farneback
+
+        def flow_fn(i1, i2):
+            g1 = cv2.cvtColor(np.asarray(i1[0], np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            g2 = cv2.cvtColor(np.asarray(i2[0], np.uint8),
+                              cv2.COLOR_RGB2GRAY)
+            return np.asarray(
+                farneback(jnp.asarray(g1), jnp.asarray(g2))
+            )[None]
+    elif args.backend == "raft":
+        import jax
+        from nsof_tpu.models.convert import pretrained_raft
+
+        model, variables = pretrained_raft(args.torch_ckpt)
+        apply = jax.jit(
+            lambda a, b: model.apply(
+                variables, a, b, iters=args.iters, test_mode=True
+            )[1]
+        )
+        flow_fn = lambda i1, i2: np.asarray(apply(i1, i2))
+    else:  # flowformer
+        import jax
+        from nsof_tpu.models.flowformer.convert import pretrained_flowformer
+
+        model, variables = pretrained_flowformer(args.torch_ckpt)
+        apply = jax.jit(lambda a, b: model.apply(variables, a, b)[-1])
+        flow_fn = lambda i1, i2: np.asarray(apply(i1, i2))
+
+    if args.submission:
+        if args.dataset == "kitti":
+            n = ev.create_kitti_submission(flow_fn, args.data_root, args.out)
+        else:
+            n = ev.create_sintel_submission(
+                flow_fn, args.data_root, args.out, dstype=args.dstype
+            )
+        print(json.dumps({"written": n, "out": args.out}))
+        return 0
+
+    if args.dataset == "sintel":
+        pairs = fd.scan_sintel(args.data_root, dstype=args.dstype)
+    elif args.dataset == "kitti":
+        pairs = fd.scan_kitti(args.data_root)
+    else:
+        pairs = fd.scan_flying_chairs(args.data_root)
+    metrics = ev.validate_pairs(flow_fn, pairs, max_pairs=args.max_pairs)
+    print(json.dumps({"dataset": args.dataset, **metrics}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nsof_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -423,6 +486,22 @@ def main(argv=None) -> int:
     p.add_argument("--small", action="store_true")
     p.add_argument("--val-freq", type=int, default=5000)
 
+    p = sub.add_parser("validate")
+    p.add_argument("--dataset", choices=["sintel", "kitti", "chairs"],
+                   default="sintel")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--dstype", choices=["clean", "final"], default="clean")
+    p.add_argument("--backend",
+                   choices=["farneback", "raft", "flowformer"],
+                   default="farneback")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="reference .pth for the deep backends")
+    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--max-pairs", type=int, default=None)
+    p.add_argument("--submission", action="store_true",
+                   help="write upload files instead of validating")
+    p.add_argument("--out", default="submission")
+
     p = sub.add_parser("visualize")
     p.add_argument("npz")
     p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
@@ -447,6 +526,8 @@ def main(argv=None) -> int:
         return cmd_flow(args)
     if args.cmd == "train":
         return cmd_train(args)
+    if args.cmd == "validate":
+        return cmd_validate(args)
     return cmd_visualize(args)
 
 
