@@ -66,26 +66,37 @@ def load_scene(
     if max_frames:
         imgs = imgs[:max_frames]
 
-    frames, grays, gts = [], [], []
-    for fn in imgs:
+    # JPEG decode dominates load time on the big scenes (grasp: 101 frames
+    # @1080x1920 ≈ 5 min serial); cv2.imread releases the GIL, so decode
+    # frames concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_one(fn):
         bgr = cv2.imread(str(d / "RGB" / fn))
-        frames.append(bgr)
         # the reference calls COLOR_RGB2GRAY on the BGR-loaded frame
         # (optical_flow_seg.py:442) — reproduce exactly
-        grays.append(cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY))
+        gray = cv2.cvtColor(bgr, cv2.COLOR_RGB2GRAY)
+        gt = None
         gt_path = d / "gtmask" / fn
         if gt_path.exists():
             g = cv2.cvtColor(cv2.imread(str(gt_path)), cv2.COLOR_BGR2GRAY)
             _, g = cv2.threshold(g, 127, 256, cv2.THRESH_BINARY)
-            gts.append(g)
+            gt = g
+        return bgr, gray, gt
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        loaded = list(pool.map(_load_one, imgs))
+    frames = [f for f, _, _ in loaded]
+    grays = [g for _, g, _ in loaded]
+    gts = [m for _, _, m in loaded if m is not None]
 
     mat = scipy.io.loadmat(str(d / "constructed_3D_matrix.mat"))
     mem = mat["constructed3DMatrix"]  # [gh, gw, Tm]
     tm = mem.shape[2] if max_frames is None else min(mem.shape[2], len(imgs))
-    mem_gray = np.stack(
-        [np.asarray(conductance_to_gray(mem[:, :, cfg.offset + t]))
-         for t in range(tm - cfg.offset)]
-    )
+    # one batched transform call — the per-slice loop costs a dispatch
+    # round-trip per frame over a remote-device tunnel
+    slices = np.moveaxis(mem[:, :, cfg.offset:tm], -1, 0)
+    mem_gray = np.asarray(conductance_to_gray(slices))
     return SceneData(
         cfg=cfg,
         frames_bgr=np.stack(frames),

@@ -153,9 +153,15 @@ def run_segmentation(
     scene: SceneData,
     csv_path: Optional[str] = None,
     txt_path: Optional[str] = None,
+    collect: bool = True,
 ) -> SceneResult:
     """Dual-path motion segmentation over a whole scene, stage-timed per
-    pair with the reference CSV schema (optical_flow_seg.py:366-382)."""
+    pair with the reference CSV schema (optical_flow_seg.py:366-382).
+
+    ``collect=False`` skips the per-pair mask downloads (metrics are
+    computed on device either way) — downloads over a remote-device
+    tunnel cost ~0.5 s/pair on the 1080x1920 scene.
+    """
     cfg = scene.cfg
     n, mem, prev, nxt = _batched(scene)
     st = seg_pipe.seg_stages(cfg)
@@ -170,6 +176,17 @@ def run_segmentation(
         log.write(f"dispatch_floor_s={tm.floor:.4f}")
 
     gt = scene.gt_masks[1 : n + 1] if scene.gt_masks is not None else None
+    gt_dev = jnp.asarray(gt) if gt is not None else None
+    jpa = jax.jit(seg_pipe.pixel_accuracy)
+
+    # warm the stage compiles untimed on pair 0 — otherwise its CSV row
+    # (and the per-pair stage means) absorb 20-240 s of XLA compile time
+    roi0 = st["cal"](mem[0])
+    fw0, ib0 = st["vel"](prev[0], nxt[0], mem[0], roi0)
+    mw0 = st["task"](fw0, ib0)
+    jax.block_until_ready(st["comb"](mw0, roi0["box"], roi0["origin"]))
+    jax.block_until_ready(st["task_full"](st["vel_full"](prev[0], nxt[0])))
+
     masks, masks_full, pa_roi, pa_full = [], [], [], []
     for i in range(n):
         roi = tm("cal", st["cal"], mem[i])
@@ -180,8 +197,9 @@ def run_segmentation(
         mask = tm("comb", st["comb"], mask_win, roi["box"], roi["origin"])
         flow_full = tm("vel_full", st["vel_full"], prev[i], nxt[i])
         mask_full = tm("task_full", st["task_full"], flow_full)
-        masks.append(np.asarray(mask))
-        masks_full.append(np.asarray(mask_full))
+        if collect:
+            masks.append(np.asarray(mask))
+            masks_full.append(np.asarray(mask_full))
 
         row = _flow_row(f"{scene.names[i+1]}-{scene.names[i]}", tm)
         row.update(
@@ -192,11 +210,9 @@ def run_segmentation(
                 "Region_Percent": f"{float(roi['region_pct']):.2f}",
             }
         )
-        if gt is not None:
-            pa_roi.append(float(seg_pipe.pixel_accuracy(masks[-1], gt[i])))
-            pa_full.append(
-                float(seg_pipe.pixel_accuracy(masks_full[-1], gt[i]))
-            )
+        if gt_dev is not None:
+            pa_roi.append(float(jpa(mask, gt_dev[i])))
+            pa_full.append(float(jpa(mask_full, gt_dev[i])))
             row["Original_PA"] = f"{pa_full[-1]:.4f}"
             row["Mem_PA"] = f"{pa_roi[-1]:.4f}"
         if report:
@@ -210,7 +226,8 @@ def run_segmentation(
             )
 
     res = SceneResult(
-        masks=np.stack(masks), masks_full=np.stack(masks_full)
+        masks=np.stack(masks) if masks else None,
+        masks_full=np.stack(masks_full) if masks_full else None,
     )
     res.timing = _timing_summary(tm, n)
     if gt is not None:
@@ -241,6 +258,27 @@ def run_tracking(
     if log:
         log.write(f"dispatch_floor_s={tm.floor:.4f}")
 
+    # Precompute the per-pair GT max-bboxes with one jitted program up
+    # front (the unjitted connected-components chain costs seconds per
+    # call over a remote-device tunnel).
+    gt_boxes = gt_found = None
+    if scene.gt_masks is not None:
+        jmax = jax.jit(trk_pipe.max_bbox_from_mask)
+        gt_boxes, gt_found = [], []
+        for i in range(n):
+            b, f = jmax(jnp.asarray(scene.gt_masks[i + 1]))
+            gt_boxes.append(b)
+            gt_found.append(bool(f))
+    jiou = jax.jit(trk_pipe.mean_iou_vs_gt)
+
+    # warm the stage compiles untimed on pair 0 (see run_segmentation)
+    roi0 = st["cal"](mem[0])
+    fw0, ib0 = st["vel"](prev[0], nxt[0], mem[0], roi0)
+    jax.block_until_ready(
+        st["task"](fw0, ib0, roi0["origin"], roi0["active"])
+    )
+    jax.block_until_ready(st["task_full"](st["vel_full"](prev[0], nxt[0])))
+
     boxes, valids, boxes_f, valids_f = [], [], [], []
     ious, ious_f = [], []
     for i in range(n):
@@ -268,29 +306,15 @@ def run_tracking(
                 "Region_Percent": f"{float(roi['region_pct']):.2f}",
             }
         )
-        if scene.gt_masks is not None:
-            gt_box, found = trk_pipe.max_bbox_from_mask(
-                jnp.asarray(scene.gt_masks[i + 1])
+        if gt_boxes is not None and gt_found[i]:
+            iou = float(jiou(out["boxes"], out["valid"], gt_boxes[i]))
+            iou_f = float(
+                jiou(out_f["boxes"], out_f["valid"], gt_boxes[i])
             )
-            if bool(found):
-                iou = float(
-                    trk_pipe.mean_iou_vs_gt(
-                        jnp.asarray(boxes[-1]),
-                        jnp.asarray(valids[-1]),
-                        gt_box,
-                    )
-                )
-                iou_f = float(
-                    trk_pipe.mean_iou_vs_gt(
-                        jnp.asarray(boxes_f[-1]),
-                        jnp.asarray(valids_f[-1]),
-                        gt_box,
-                    )
-                )
-                ious.append(iou)
-                ious_f.append(iou_f)
-                row["Mem_IoU"] = f"{iou:.4f}"
-                row["Original_IoU"] = f"{iou_f:.4f}"
+            ious.append(iou)
+            ious_f.append(iou_f)
+            row["Mem_IoU"] = f"{iou:.4f}"
+            row["Original_IoU"] = f"{iou_f:.4f}"
         if report:
             report.add(row)
         if log:
@@ -318,16 +342,27 @@ def run_prediction(
     scene: SceneData,
     csv_path: Optional[str] = None,
     txt_path: Optional[str] = None,
+    collect: bool = True,
 ) -> SceneResult:
     """Dual-path future-frame prediction; per-pair SSIM vs true frame i+2
     on both paths, reference CSV schema
-    (optical_flow_prediction.py:410-427)."""
+    (optical_flow_prediction.py:410-427).
+
+    SSIM runs on device against a once-uploaded channel-2 stack of the
+    true future frames; ``collect=False`` additionally skips the per-pair
+    predicted-frame downloads (~48 MB/pair on the 1080x1920 scene)."""
     cfg = scene.cfg
     n = scene.num_pairs
     mem = jnp.asarray(scene.mem_gray[1 : n + 1])
     prev = jnp.asarray(scene.frames_gray[:n])
     nxt = jnp.asarray(scene.frames_gray[1 : n + 1])
     nxt_bgr = jnp.asarray(scene.frames_bgr[1 : n + 1])
+    # channel 2 of the true future frame is all the SSIM metric reads
+    # (optical_flow_prediction.py:113-115)
+    true_r = jnp.asarray(scene.frames_bgr[2 : n + 2, :, :, 2])
+    from nsof_tpu.ops.ssim import ssim as _ssim
+
+    jssim = jax.jit(lambda p, t: _ssim(t, p[..., 2], data_range=255.0))
     st = pred_pipe.prediction_stages(cfg)
     tm = _Timed(_dispatch_floor())
     report = (
@@ -338,6 +373,16 @@ def run_prediction(
     log = reporting.TextLog(txt_path) if txt_path else None
     if log:
         log.write(f"dispatch_floor_s={tm.floor:.4f}")
+
+    # warm the stage compiles untimed on pair 0 (see run_segmentation)
+    roi0 = st["cal"](mem[0])
+    fw0, _ = st["vel"](prev[0], nxt[0], mem[0], roi0)
+    fl0 = st["comb"](fw0, roi0["box"], roi0["origin"])
+    p0 = st["task"](nxt_bgr[0], fl0, roi0["box"], roi0["active"])
+    jax.block_until_ready(jssim(p0, true_r[0]))
+    jax.block_until_ready(
+        st["task_full"](nxt_bgr[0], st["vel_full"](prev[0], nxt[0]))
+    )
 
     preds, preds_f, ssims, ssims_f = [], [], [], []
     for i in range(n):
@@ -351,14 +396,12 @@ def run_prediction(
         )
         flow_full = tm("vel_full", st["vel_full"], prev[i], nxt[i])
         pred_f = tm("task_full", st["task_full"], nxt_bgr[i], flow_full)
-        preds.append(np.asarray(pred))
-        preds_f.append(np.asarray(pred_f))
+        if collect:
+            preds.append(np.asarray(pred))
+            preds_f.append(np.asarray(pred_f))
 
-        true_future = scene.frames_bgr[i + 2]
-        ssims.append(float(pred_pipe.prediction_ssim(preds[-1], true_future)))
-        ssims_f.append(
-            float(pred_pipe.prediction_ssim(preds_f[-1], true_future))
-        )
+        ssims.append(float(jssim(pred, true_r[i])))
+        ssims_f.append(float(jssim(pred_f, true_r[i])))
 
         row = _flow_row(f"{scene.names[i+1]}-{scene.names[i]}", tm)
         row.update(
@@ -379,7 +422,10 @@ def run_prediction(
                 f" orig={row['Original_SSIM']}"
             )
 
-    res = SceneResult(preds=np.stack(preds), preds_full=np.stack(preds_f))
+    res = SceneResult(
+        preds=np.stack(preds) if preds else None,
+        preds_full=np.stack(preds_f) if preds_f else None,
+    )
     res.timing = _timing_summary(tm, n)
     res.metrics = {
         "mean_ssim": float(np.mean(ssims)),

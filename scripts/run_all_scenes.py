@@ -20,6 +20,16 @@ def run_one(name, data_root="/root/reference/data"):
     """Run all three pipelines on one scene; prints a JSON row."""
     import json
 
+    import jax
+
+    # Stage compiles (~20-40 s each over the remote-TPU tunnel) dominate a
+    # scene's wall time; persist them so reruns and the per-scene
+    # subprocesses pay them once.
+    jax.config.update(
+        "jax_compilation_cache_dir", str(pathlib.Path(".jax_cache"))
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nsof_tpu.data import load_scene
     from nsof_tpu.pipelines.runner import (
         run_prediction,
@@ -34,7 +44,8 @@ def run_one(name, data_root="/root/reference/data"):
     row = {"scene": name, "pairs": scene.num_pairs,
            "mode": "FLAG=1" if scene.cfg.roi.mode == 1 else "FLAG=2"}
     seg = run_segmentation(
-        scene, csv_path=out_dir / "seg.csv", txt_path=out_dir / "seg.txt"
+        scene, csv_path=out_dir / "seg.csv", txt_path=out_dir / "seg.txt",
+        collect=False,
     )
     row["seg_pa_roi"] = seg.metrics.get("mem_pa_mean", float("nan"))
     row["seg_pa_full"] = seg.metrics.get("orig_pa_mean", float("nan"))
@@ -46,7 +57,8 @@ def run_one(name, data_root="/root/reference/data"):
     row["track_iou"] = trk.metrics.get("mean_iou", float("nan"))
     row["track_iou_full"] = trk.metrics.get("mean_iou_full", float("nan"))
     pred = run_prediction(
-        scene, csv_path=out_dir / "pred.csv", txt_path=out_dir / "pred.txt"
+        scene, csv_path=out_dir / "pred.csv", txt_path=out_dir / "pred.txt",
+        collect=False,
     )
     row["pred_ssim"] = pred.metrics.get("mean_ssim", float("nan"))
     row["pred_ssim_full"] = pred.metrics.get("mean_ssim_full", float("nan"))
