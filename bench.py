@@ -39,6 +39,11 @@ def main():
         image_w=W,
         window_h=256,
         window_w=384,
+        # This workload's motion is ~2.2 px — radius 3 covers it exactly
+        # (EPE vs exact path 0.0035 px mean at this configuration).  Pin it
+        # so per-scene audit updates to the grasp preset don't change the
+        # benchmarked program.
+        warp_radius=3,
     )
     cfg = dataclasses.replace(
         cfg, roi=dataclasses.replace(cfg.roi, memsize=MEMSIZE)

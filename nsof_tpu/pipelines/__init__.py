@@ -1,3 +1,10 @@
-"""End-to-end neuromorphic pipelines: segmentation, tracking, prediction."""
+"""End-to-end neuromorphic pipelines: segmentation, tracking, prediction,
+streaming."""
 
-from nsof_tpu.pipelines import prediction, runner, segmentation, tracking  # noqa: F401
+from nsof_tpu.pipelines import (  # noqa: F401
+    prediction,
+    runner,
+    segmentation,
+    stream,
+    tracking,
+)

@@ -25,19 +25,20 @@ def main(out_md="RESULTS.md"):
         "head) per their Parameters.txt; grasp/tabletennis run FLAG=2.",
         "",
         "| scene | mode | pairs | seg PA ROI | seg PA full | mIoU ROI |"
-        " mIoU full | SSIM ROI | SSIM full |",
-        "|---|---|---|---|---|---|---|---|---|",
+        " mIoU full | SSIM ROI | SSIM full | wall s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if "error" in r:
             lines.append(f"| {r['scene']} | — | — | {r['error'][:40]} |"
-                         " | | | | |")
+                         " | | | | | |")
             continue
         lines.append(
             f"| {r['scene']} | {r['mode']} | {r['pairs']} |"
             f" {r['seg_pa_roi']:.2f} | {r['seg_pa_full']:.2f} |"
             f" {r['track_iou']:.3f} | {r['track_iou_full']:.3f} |"
             f" {r['pred_ssim']:.3f} | {r['pred_ssim_full']:.3f} |"
+            f" {r.get('wall_s', float('nan')):.0f} |"
         )
     lines += [
         "",
@@ -96,13 +97,49 @@ def main(out_md="RESULTS.md"):
             " through the same sharded step/loss/optimizer"
             " infrastructure (FlowFormer data-parallel, RAFT dp×tp).",
         ]
+    audit_path = REPO / "results/fast_audit.json"
+    if audit_path.exists():
+        audit = json.loads(audit_path.read_text())
+        lines += [
+            "",
+            "## Fast-path accuracy audit (scripts/audit_fast_path.py)",
+            "",
+            "`seg_batch_fast` (the TPU throughput path; bounded per-level",
+            "warp radius — contract in nsof_tpu/ops/farneback_fast.py) vs",
+            "the exact OpenCV-parity path, on every bundled scene at each",
+            "preset's shipped radius.  Agreement = fraction of seg-mask",
+            "pixels equal to the exact path; EPE over pixels where either",
+            "path produced flow; PA Δ = |pixel-accuracy-vs-gtmask delta|.",
+            "Radii are auto-selected (smallest meeting agreement ≥ 0.995",
+            "and PA Δ ≤ 0.1) and pinned by tests/test_fast_audit.py.",
+            "",
+            "| scene | radius | agreement mean | agreement min | EPE p50 |"
+            " EPE p95 | PA Δ | pairs |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for name, row in audit.items():
+            sel = row.get("selected_radius")
+            if sel is None:
+                lines.append(f"| {name} | — (no radius met floors) |"
+                             " | | | | | |")
+                continue
+            rr = row["radii"][str(sel)]
+            pairs = str(row["pairs"]) + (
+                " (subsampled)" if row.get("subsampled") else ""
+            )
+            pa_d = (f"{rr['pa_delta']:.3f}" if "pa_delta" in rr else "—")
+            lines.append(
+                f"| {name} | {sel} | {rr['mask_agreement_mean']:.4f} |"
+                f" {rr['mask_agreement_min']:.4f} | {rr['epe_p50']:.3f} |"
+                f" {rr['epe_p95']:.3f} | {pa_d} | {pairs} |"
+            )
     lines += [
         "",
         "## Headline benchmark",
         "",
-        "`bench.py` (ROI-gated Farnebäck segmentation, 640×480, batch 256,"
-        " one v5e): **2,759 fps** (round 1: 1,719; target ≥3,000)."
-        " See BENCH_r0*.json for the driver-recorded trajectory.",
+        "`bench.py` (ROI-gated Farnebäck segmentation, 640×480, batch 768,"
+        " one v5e): **3,214 fps** (round 1: 1,719; round 2: 2,793; target"
+        " ≥3,000). See BENCH_r0*.json for the driver-recorded trajectory.",
         "",
         "Generated by scripts/finalize_results.py from"
         " results/scene_rows.json (scene wall-times include jit compiles;"

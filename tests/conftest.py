@@ -35,6 +35,15 @@ if os.environ.get("NSOF_TEST_CPU"):
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persist XLA compiles — over the remote-TPU tunnel a single stage compile
+# costs 20-240 s and dominates the suite's wall time; the cache makes
+# repeat runs compile-free.  (Harmless on CPU.)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
