@@ -340,6 +340,58 @@ def cmd_flow(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Streaming end-to-end: frames folder → device-state scan → batched
+    ROI-gated seg masks, in chunked compiled calls (pipelines/stream.py)."""
+    import cv2
+    import numpy as np
+
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.device.frame_sim import FrameSimConfig
+    from nsof_tpu.pipelines.stream import stream_masks_chunked
+
+    folder = pathlib.Path(args.frames)
+    files = sorted(
+        [*folder.glob("*.jpg"), *folder.glob("*.png")],
+        key=lambda f: int(f.stem) if f.stem.isdigit() else f.stem,
+    )
+    frames = np.stack(
+        [cv2.imread(str(f), cv2.IMREAD_GRAYSCALE) for f in files]
+    )
+    cfg = DATASETS[args.preset]
+    if frames.shape[1:] != (cfg.image_h, cfg.image_w):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, image_h=frames.shape[1], image_w=frames.shape[2],
+            window_h=None, window_w=None,
+        )
+    if args.thres is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, roi=dataclasses.replace(cfg.roi, thres=args.thres)
+        )
+    sim = FrameSimConfig(
+        m=cfg.roi.memsize, n=cfg.roi.memsize, n_substeps=args.substeps
+    )
+    out = stream_masks_chunked(
+        frames, cfg, sim, chunk_pairs=args.chunk_pairs
+    )
+    out_dir = pathlib.Path(args.out or folder.parent / "stream_masks")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(out["masks"].shape[0]):
+        cv2.imwrite(str(out_dir / f"mask_{files[i+1].stem}.png"),
+                    out["masks"][i])
+    act = int(np.asarray(out["any_active"]).sum())
+    print(
+        f"{out['masks'].shape[0]} masks -> {out_dir} "
+        f"(active pairs: {act}, mean region "
+        f"{float(np.asarray(out['region_pct']).mean()):.1f}%)"
+    )
+    return 0
+
+
 def cmd_visualize(args) -> int:
     from nsof_tpu.utils.visualize import visualize_npz
 
@@ -502,6 +554,17 @@ def main(argv=None) -> int:
                    help="write upload files instead of validating")
     p.add_argument("--out", default="submission")
 
+    p = sub.add_parser("stream")
+    p.add_argument("--frames", required=True, help="folder of frames")
+    p.add_argument("--preset", default="tabletennis",
+                   help="dataset preset for ROI/flow params")
+    p.add_argument("--thres", type=int, default=None,
+                   help="override the activity threshold (the preset's "
+                        "THRES was tuned for the reference .mat state)")
+    p.add_argument("--chunk-pairs", type=int, default=64)
+    p.add_argument("--substeps", type=int, default=1000)
+    p.add_argument("--out", default=None)
+
     p = sub.add_parser("visualize")
     p.add_argument("npz")
     p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
@@ -528,6 +591,8 @@ def main(argv=None) -> int:
         return cmd_train(args)
     if args.cmd == "validate":
         return cmd_validate(args)
+    if args.cmd == "stream":
+        return cmd_stream(args)
     return cmd_visualize(args)
 
 
