@@ -23,12 +23,15 @@ def _uniform_filter(x: Array, size: int) -> Array:
     r = size // 2
     xp = jnp.pad(x, r, mode="edge")
     k = jnp.full((size, size), 1.0 / (size * size), x.dtype)
+    # f32 accumulation pinned: under the TPU default (bf16 conv inputs)
+    # the moment filters lose ~3 digits and per-window SSIM can exceed 1
     return jax.lax.conv_general_dilated(
         xp[None, None],
         k[None, None],
         (1, 1),
         "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 

@@ -128,6 +128,117 @@ def stream_masks(
     }
 
 
+def stream_masks_from_events(
+    x,
+    y,
+    p,
+    t_us,
+    frames_gray: Array,
+    frame_t_us,
+    cfg: PipelineConfig,
+    event_hw: tuple[int, int],
+    slice_us: int = 1000,
+    event_cfg=None,
+    warp_radius: int | None = None,
+    kernel_mode: str = "auto",
+) -> dict[str, Array]:
+    """Hybrid neuromorphic serving: an event stream drives the device
+    state; a synchronised frame stream provides intensity for the
+    ROI-gated flow.
+
+    This closes the loop the reference leaves open — its event simulator
+    (eventsim/event_mem_sim.py) produces state maps but is never wired to
+    the flow pipelines (which replay MATLAB-produced ``.mat`` state).
+    Here the events between consecutive frame timestamps are integrated
+    with the event-driven device model (V1/V2 schemes, refractory —
+    :func:`nsof_tpu.device.event_sim.simulate_events`), the state after
+    each interval becomes that frame pair's gating map (``memimg2``
+    semantics), and all pairs then run the batched throughput path.
+
+    Args:
+        x, y, p, t_us: the event stream (same convention as ``bin_events``).
+        frames_gray: [T, H, W] uint8 frames, T ≥ 2.
+        frame_t_us: [T] int frame timestamps (µs, same clock as ``t_us``);
+            intervals need not be uniform, but uniform intervals (and
+            ``slice_us`` dividing them) reuse one compiled program.
+        cfg: pipeline preset; ``cfg.roi.memsize`` must map the event grid
+            onto the image (image_h == event_hw[0] * memsize).
+        event_hw: (gh, gw) device/event-array resolution.
+        event_cfg: :class:`nsof_tpu.device.event_sim.EventSimConfig`
+            (default V1 boxcar, magnitude polarity — one state array).
+
+    Gate map: the event-driven device keeps ``w`` near ``w_init`` (0.5)
+    where quiet, so the reference's conductance→uint8 transform saturates
+    at 255 across the whole usable range — it was calibrated for the
+    MATLAB ``.mat`` conductances, not this scheme.  The gate here is the
+    *state displacement* ``u8(|w − w_init| · 255)``: polarity-agnostic
+    (V1's upward drive and V2's downward drive both register) and
+    physically "how far each synapse has moved".  ``cfg.roi.thres`` is
+    therefore in displacement counts (e.g. 58 ≈ |Δw| 0.23).
+
+    Returns the :func:`stream_masks` dict (masks/boxes/any_active/
+    region_pct), ``mem_gate`` (the displacement maps actually gated on)
+    and ``state`` (the event-sim carry for continuing the stream).
+    """
+    import numpy as np
+
+    from nsof_tpu.device.event_sim import (
+        EventSimConfig,
+        bin_events,
+        simulate_events,
+    )
+
+    if event_cfg is None:
+        event_cfg = EventSimConfig(version=1, polarity="magnitude")
+    gh, gw = event_hw
+    frames_gray = jnp.asarray(frames_gray)
+    frame_t_us = np.asarray(frame_t_us, np.int64)
+    n_pairs = frames_gray.shape[0] - 1
+    assert frame_t_us.shape[0] == frames_gray.shape[0]
+
+    x = np.asarray(x)
+    y = np.asarray(y)
+    p = np.asarray(p)
+    t_us = np.asarray(t_us, np.int64)
+
+    t0 = frame_t_us[0]
+    carry = None
+    mem_gray = []
+    for i in range(n_pairs):
+        lo, hi = int(frame_t_us[i]), int(frame_t_us[i + 1])
+        sel = (t_us >= lo) & (t_us < hi)
+        n_slices = max(1, -(-(hi - lo) // slice_us))
+        binned = bin_events(
+            x[sel], y[sel], p[sel], t_us[sel], slice_us, gh, gw,
+            t_origin=lo, n_slices=n_slices,
+        )
+        out = simulate_events(
+            binned, event_cfg, initial_state=carry,
+            time_offset=int(lo - t0),
+        )
+        carry = out["state"]
+        disp = jnp.abs(out["w_final"] - event_cfg.params.w_init) * 255.0
+        mem_gray.append(jnp.clip(disp, 0, 255).astype(jnp.uint8))
+    gate = jnp.stack(mem_gray)
+
+    seg = seg_batch_fast(
+        gate,
+        frames_gray[:-1],
+        frames_gray[1:],
+        cfg,
+        warp_radius,
+        kernel_mode,
+    )
+    return {
+        "masks": seg["mask"],
+        "boxes": seg["box"],
+        "any_active": seg["any_active"],
+        "region_pct": seg["region_pct"],
+        "mem_gate": gate,
+        "state": carry,
+    }
+
+
 def stream_masks_chunked(
     frames_gray: Array,
     cfg: PipelineConfig,

@@ -40,6 +40,9 @@ def audit_scene(name: str, data_root="/root/reference/data", max_pairs=None):
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from nsof_tpu.data import load_scene
     from nsof_tpu.pipelines.segmentation import (
         pixel_accuracy,

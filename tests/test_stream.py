@@ -123,6 +123,68 @@ def test_chunked_equals_oneshot(stream_out):
     )
 
 
+def test_event_gated_stream():
+    """Hybrid path: synthetic event stream gates flow on matching frames.
+
+    Events live on a 16x16 device grid (memsize 10 -> 160x160 frames);
+    the chained per-interval device state must equal one un-chunked
+    simulate_events run, and the ROI must land on the moving box.
+    """
+    import jax.numpy as jnp
+
+    from nsof_tpu.device.event_sim import (
+        EventSimConfig,
+        bin_events,
+        simulate_events,
+    )
+    from nsof_tpu.device.synthetic import generate_synthetic_events
+    from nsof_tpu.pipelines.stream import stream_masks_from_events
+
+    gh = gw = 16
+    x, y, p, t = generate_synthetic_events(
+        height=gh, width=gw, box_h=4, box_w=4, speed_pps=16, duration_s=1.0
+    )
+    n_frames = 11
+    frame_t = np.arange(n_frames, dtype=np.int64) * 100_000  # 10 fps, 1 s
+    frames = np.full((n_frames, H, W), 20, np.uint8)
+    for i in range(n_frames):
+        gx0 = int(frame_t[i] / 1e6 * 16)
+        frames[i, 60:100, gx0 * 10 : (gx0 + 4) * 10] = 220
+
+    ecfg = EventSimConfig(version=1, polarity="magnitude")
+    # gate is |w - w_init|*255; the V1 drive moves crossed cells by
+    # ~0.1-0.23 in state -> displacement counts ~25-58
+    out = stream_masks_from_events(
+        x, y, p, t, frames, frame_t,
+        _cfg(thres=20), (gh, gw), slice_us=1000, event_cfg=ecfg,
+    )
+    masks = np.asarray(out["masks"])
+    assert masks.shape == (n_frames - 1, H, W)
+
+    # chained interval state == one-shot event simulation state
+    sel = t < frame_t[-1]
+    binned = bin_events(
+        x[sel], y[sel], p[sel], t[sel], 1000, gh, gw,
+        t_origin=0, n_slices=1000,
+    )
+    one = simulate_events(binned, ecfg)
+    np.testing.assert_allclose(
+        np.asarray(out["state"]["w"][0]),
+        np.asarray(one["w_final"]),
+        atol=1e-6,
+        rtol=0,
+    )
+
+    # the event-driven gate actually fires and the ROI tracks the box
+    active = np.asarray(out["any_active"])
+    assert active.any(), "event-driven gate never fired"
+    last = int(np.nonzero(active)[0][-1])
+    x0, y0, x1, y1 = np.asarray(out["boxes"][last])
+    gx0 = int(frame_t[last + 1] / 1e6 * 16) * 10
+    assert x1 > gx0 - 20 and x0 < gx0 + 60
+    assert y1 > 40 and y0 < 120
+
+
 def test_w0_continuation_matches_split_scan(stream_out):
     """Feeding chunk 2 the carry of chunk 1 continues the stream exactly.
 
