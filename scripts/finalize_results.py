@@ -61,10 +61,6 @@ def main(out_md="RESULTS.md"):
         " 0.00 (full-frame flow over the mostly-static 1080×1920 scene"
         " yields magnitudes the contour/area filter rejects on every"
         " pair — gating is what makes boxes exist at all).",
-        "- grasp SSIM marginally exceeds 1.0: the reference's own metric"
-        " (skimage SSIM on channel 2, reproduced to 2e-5) goes slightly"
-        " above 1 on near-identical uint8 frames; both paths show the"
-        " same behaviour.",
         "- Prediction SSIM is within noise of the baseline everywhere"
         " (ROI warps only the moving region; the rest is the next frame).",
         "",
