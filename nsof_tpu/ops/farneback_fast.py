@@ -1304,7 +1304,10 @@ def farneback_fast(
         # (a bf16-expansions variant was tried and REMOVED: Mosaic's
         # unaligned bf16 sublane slices cost more than the DMA they
         # save — ~30 % slower than 'fused' on v5e)
-        if b_sz % 128 != 0 or params.winsize // 2 > 8:
+        # the fused kernels keep halos inside an 8-row slab ring: winsize
+        # half-window, poly_n (cv2 half-neighbourhood: window = 2n+1) and,
+        # at level 0, poly_n + the fused 3-tap blur must all fit
+        if b_sz % 128 != 0 or params.winsize // 2 > 8 or params.poly_n > 7:
             kernel_mode = "pallas_sep"  # falls through to XLA helpers
         else:
             mdt = (jnp.float32 if kernel_mode == "fused_f32"

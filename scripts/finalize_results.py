@@ -114,7 +114,12 @@ def main(out_md="RESULTS.md"):
             "pixels equal to the exact path; EPE over pixels where either",
             "path produced flow; PA Δ = |pixel-accuracy-vs-gtmask delta|.",
             "Radii are auto-selected (smallest meeting agreement ≥ 0.995",
-            "and PA Δ ≤ 0.1) and pinned by tests/test_fast_audit.py.",
+            "and PA Δ ≤ 0.1; when agreement plateaus across radii — the",
+            "residual is not the warp clamp — the smallest radius on the",
+            "plateau, e.g. uav) and pinned by tests/test_fast_audit.py.",
+            "grasp audits at its shipped r=3 on B=4 sub-batches: its",
+            "full-frame 1920×1080 window exceeds HBM at the fused path's",
+            "B=128, and radii > 3 exceed HBM at any batch there.",
             "",
             "| scene | radius | agreement mean | agreement min | EPE p50 |"
             " EPE p95 | PA Δ | pairs |",

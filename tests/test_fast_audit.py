@@ -63,12 +63,21 @@ def test_shipped_radius_matches_audit_selection(scene):
 
 @pytest.mark.parametrize("scene", SCENES)
 def test_shipped_radius_met_floors(scene):
+    """Selection policy (scripts/audit_fast_path.py::select_radius):
+    'floor' selections meet the absolute agreement floor; 'plateau'
+    selections (residual disagreement is radius-independent, i.e. not the
+    warp clamp) sit within 2e-4 of the best measured agreement.  Both
+    kinds must keep the task-level pixel-accuracy delta under the cap."""
     rows = _audit()
     row = rows.get(scene)
     if row is None:
         pytest.skip(f"{scene} not audited")
     rr = row["radii"][str(DATASETS[scene].warp_radius)]
-    assert rr["mask_agreement_mean"] >= AGREEMENT_FLOOR
+    if row.get("selection") == "plateau":
+        best = max(v["mask_agreement_mean"] for v in row["radii"].values())
+        assert rr["mask_agreement_mean"] >= best - 2e-4
+    else:
+        assert rr["mask_agreement_mean"] >= AGREEMENT_FLOOR
     if "pa_delta" in rr:
         assert rr["pa_delta"] <= PA_DELTA_MAX
 

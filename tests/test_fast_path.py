@@ -167,3 +167,18 @@ def test_cli_eventsim_synthetic(tmp_path, monkeypatch):
     assert rc == 0
     assert (tmp_path / "synthetic.V1.npz").exists()
     assert (tmp_path / "synthetic.V1.json.gz").exists()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="exercises the TPU kernel dispatch")
+def test_auto_mode_falls_back_for_large_poly_n(rng):
+    """uav/autodriving presets use poly_n=10 — beyond the fused kernels'
+    8-row halo slab — so 'auto' must route them to the separable path
+    instead of tripping the Pallas assert (regression: audit crash)."""
+    from nsof_tpu.ops.farneback import PRESETS
+
+    img0, img1 = _shifted_pair(rng, b=128, h=64, w=128, dx=-1.0, dy=0.5)
+    out = farneback_fast(
+        jnp.asarray(img0), jnp.asarray(img1), PRESETS["uav"], 3, "auto"
+    )
+    assert out.shape == (128, 64, 128, 2)
+    assert bool(jnp.isfinite(out).all())
