@@ -49,10 +49,11 @@ def main():
         cfg, roi=dataclasses.replace(cfg.roi, memsize=MEMSIZE)
     )
 
-    # throughput sweet spot on v5e behind the tunnel: marginal compute is
-    # ~0.25 ms/frame at B=768 (measured sweep 256→1024: 2787/2916/3055/
-    # 3321/3365 fps) while the flat ~16-35 ms dispatch floor amortizes.
-    B = 768
+    # throughput scaling on v5e behind the tunnel (measured sweep:
+    # 768→3331, 1024→3365, 1536→3507 fps; 2048 exceeds HBM): marginal
+    # compute ~0.285 ms/frame at B=1536 with the flat ~16-35 ms dispatch
+    # floor amortized, ~10 GB of 15.75 GB HBM — comfortable headroom.
+    B = 1536
     n_var = 6
     rng = np.random.default_rng(0)
     base = rng.random((H + 64, W + 64)).astype(np.float32) * 255
