@@ -1147,9 +1147,11 @@ def _resize_hwb(img: Array, out_h: int, out_w: int) -> Array:
 
 # fused-path spatial tile; rows are un-tiled in [5,H,W,B] layout so th is
 # free, tw rides the 8-sublane dimension (16-aligned for bf16 M DMAs).
-# (16, 32) keeps the per-tile VMEM (bf16 M slab + f32 r0/r1 slabs +
-# out blocks + win_sum temporaries) ≈ 10-11 MB.
-FUSED_TH = 16
+# Swept at B=1536/256x384 on v5e: 8x32 449 ms, 16x32 416, 32x32 403,
+# 48x32 465, 64x32 412, 128x32 430 — 32x32 amortises the halo DMAs best
+# while the per-tile VMEM stays within Mosaic's budget.  Tile size only
+# reassociates the f32 window sums (≤4e-3 px vs 16x32, re-audited).
+FUSED_TH = 32
 FUSED_TW = 32
 
 

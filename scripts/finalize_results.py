@@ -145,8 +145,8 @@ def main(out_md="RESULTS.md"):
         "",
         "## Headline benchmark",
         "",
-        "`bench.py` (ROI-gated Farnebäck segmentation, 640×480, batch 768,"
-        " one v5e): **3,214 fps** (round 1: 1,719; round 2: 2,793; target"
+        "`bench.py` (ROI-gated Farnebäck segmentation, 640×480, batch 1536,"
+        " one v5e): **3,610 fps** (round 1: 1,719; round 2: 2,793; target"
         " ≥3,000). See BENCH_r0*.json for the driver-recorded trajectory.",
         "",
         "Generated by scripts/finalize_results.py from"
