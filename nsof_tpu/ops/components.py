@@ -161,7 +161,13 @@ def connected_components_with_stats(
     return out
 
 
-def nms(boxes: Array, scores: Array, valid: Array, iou_thresh: float) -> Array:
+def nms(
+    boxes: Array,
+    scores: Array,
+    valid: Array,
+    iou_thresh: float,
+    plus_one: bool = True,
+) -> Array:
     """Greedy non-maximum suppression with the reference's +1 area
     convention (py_cpu_nms, optical_flow_ob.py:96-135).
 
@@ -170,14 +176,17 @@ def nms(boxes: Array, scores: Array, valid: Array, iou_thresh: float) -> Array:
         scores: [N] float (the tracking head uses component area).
         valid: [N] bool, candidate mask.
         iou_thresh: suppress boxes with IoU > thresh against a kept box.
+        plus_one: use the reference's inclusive (+1) widths/areas; pass
+            False for standard exclusive IoU (the YOLO post step).
 
     Returns [N] bool keep mask.
     """
     boxes = jnp.asarray(boxes, jnp.float32)
     scores = jnp.asarray(scores, jnp.float32)
     n = boxes.shape[0]
+    one = 1.0 if plus_one else 0.0
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (y2 - y1 + 1.0) * (x2 - x1 + 1.0)
+    areas = (y2 - y1 + one) * (x2 - x1 + one)
 
     def body(_, state):
         alive, keep = state
@@ -189,8 +198,8 @@ def nms(boxes: Array, scores: Array, valid: Array, iou_thresh: float) -> Array:
         yy1 = jnp.maximum(y1[i], y1)
         xx2 = jnp.minimum(x2[i], x2)
         yy2 = jnp.minimum(y2[i], y2)
-        ww = jnp.maximum(0.0, xx2 - xx1 + 1.0)
-        hh = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+        ww = jnp.maximum(0.0, xx2 - xx1 + one)
+        hh = jnp.maximum(0.0, yy2 - yy1 + one)
         inter = ww * hh
         iou = inter / (areas[i] + areas - inter)
         suppress = (iou > iou_thresh) | (jnp.arange(n) == i)

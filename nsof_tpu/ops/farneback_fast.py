@@ -1171,6 +1171,54 @@ def _farneback_fast_fused(
     img1 = jnp.asarray(next_, jnp.float32).transpose(1, 2, 0)
     e = radius + 1
     levels = _effective_levels(h, w, params.levels, params.pyr_scale)
+
+    # Pyramid images for levels >= 1, built fine→coarse as a cascade.
+    # cv2 blurs the ORIGINAL image at FULL resolution for every level
+    # (optical_flow_seg.py:203's calcOpticalFlowFarneback semantics) —
+    # ~35 ms of the level loop at 256×384×1536.  Level 1 keeps that
+    # construction exactly; deeper levels blur the PREVIOUS level at its
+    # own (already decimated) resolution with the Gaussian-semigroup
+    # incremental sigma, σ_inc² = σ_k² − σ_{k−1}², both expressed on the
+    # level-(k−1) grid — O(scaleᵏ) work per level instead of O(1).
+    # Approximation is audit-gated per preset (RESULTS.md fast-path
+    # table; tests/test_fast_audit.py pins the agreement floors).
+    lvl_imgs: dict[int, tuple[Array, Array]] = {}
+    cur0, cur1 = img0, img1
+    for k in range(1, levels + 1):
+        scale = params.pyr_scale**k
+        sigma_k = (1.0 / scale - 1.0) * 0.5
+        wk_ = _cv_round(w * scale)
+        hk_ = _cv_round(h * scale)
+        if k == 1:
+            sz = max(_cv_round(sigma_k * 5) | 1, 3)
+            s_blur = sigma_k
+        else:
+            prev_scale = params.pyr_scale ** (k - 1)
+            sigma_prev = (1.0 / prev_scale - 1.0) * 0.5
+            tgt = sigma_k * prev_scale
+            acc = sigma_prev * prev_scale
+            s_blur = float(np.sqrt(max(tgt * tgt - acc * acc, 1e-12)))
+            sz = max(2 * int(np.ceil(3.0 * s_blur)) + 1, 3)
+        gk = _gaussian_blur_kernel(sz, s_blur)
+        nb = sz // 2
+        cur0 = _resize_hwb(
+            _blur_valid(
+                jnp.pad(cur0, ((nb, nb), (nb, nb), (0, 0)),
+                        mode="reflect"),
+                gk,
+            ),
+            hk_, wk_,
+        )
+        cur1 = _resize_hwb(
+            _blur_valid(
+                jnp.pad(cur1, ((nb, nb), (nb, nb), (0, 0)),
+                        mode="reflect"),
+                gk,
+            ),
+            hk_, wk_,
+        )
+        lvl_imgs[k] = (cur0, cur1)
+
     dx = dy = None
     for k in range(levels, -1, -1):
         scale = params.pyr_scale**k
@@ -1200,22 +1248,7 @@ def _farneback_fast_fused(
                 blur_kernel=gk_blur, th=8, tw=16, margin=(8, 16),
             )
         else:
-            i0 = _resize_hwb(
-                _blur_valid(
-                    jnp.pad(img0, ((n, n), (n, n), (0, 0)),
-                            mode="reflect"),
-                    gk_blur,
-                ),
-                hk, wk,
-            )
-            i1 = _resize_hwb(
-                _blur_valid(
-                    jnp.pad(img1, ((n, n), (n, n), (0, 0)),
-                            mode="reflect"),
-                    gk_blur,
-                ),
-                hk, wk,
-            )
+            i0, i1 = lvl_imgs[k]
             r0c = _poly_expansion_cm_pallas(
                 i0, params.poly_n, params.poly_sigma, hp, wp
             )

@@ -77,6 +77,101 @@ class UltralyticsDetector:
         return out
 
 
+COCO_NAMES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep",
+    "cow", "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+)
+
+
+class JaxYoloDetector:
+    """TPU-native YOLOv8 behind the :class:`Detector` protocol.
+
+    Runs :mod:`nsof_tpu.models.yolov8` (full architecture in Flax) under
+    one jitted forward per image size: ultralytics-style letterbox to a
+    static ``imgsz`` square (gray 114 padding), decode + on-device NMS,
+    boxes mapped back to source coordinates.  Build from an ultralytics
+    checkpoint via :func:`for_checkpoint`, or pass converted variables
+    directly (tests use the synthetic state_dict fixture)."""
+
+    def __init__(self, variables, config=None, imgsz: int = 640,
+                 conf: float = YOLO_CONFIDENCE,
+                 iou: float = YOLO_IOU_THRESHOLD,
+                 class_names: tuple[str, ...] = COCO_NAMES):
+        import jax
+
+        from nsof_tpu.models import yolov8 as y8
+
+        self.config = config or y8.YoloConfig()
+        self.model = y8.YOLOv8(self.config)
+        self.variables = variables
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.class_names = class_names
+
+        @jax.jit
+        def _run(variables, img):
+            outs = self.model.apply(variables, img[None])
+            boxes, scores = y8.decode_predictions(
+                outs, self.config.num_classes
+            )
+            post = y8.postprocess(boxes, scores, self.conf, self.iou)
+            return jax.tree.map(lambda v: v[0], post)
+
+        self._run = _run
+
+    @classmethod
+    def for_checkpoint(cls, path: str, **kw):
+        from nsof_tpu.models.yolov8 import pretrained_yolov8
+
+        model, variables = pretrained_yolov8(path)
+        return cls(variables, model.config, **kw)
+
+    def __call__(self, image_bgr: np.ndarray) -> list[Detection]:
+        h0, w0 = image_bgr.shape[:2]
+        # letterbox: scale to fit, center on a 114-gray square canvas
+        gain = min(self.imgsz / h0, self.imgsz / w0)
+        nh, nw = round(h0 * gain), round(w0 * gain)
+        import cv2
+
+        resized = cv2.resize(
+            image_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR
+        )
+        canvas = np.full(
+            (self.imgsz, self.imgsz, 3), 114, dtype=np.uint8
+        )
+        top = (self.imgsz - nh) // 2
+        left = (self.imgsz - nw) // 2
+        canvas[top : top + nh, left : left + nw] = resized
+        img = canvas[..., ::-1].astype(np.float32) / 255.0  # BGR→RGB
+        post = self._run(self.variables, img)
+        boxes = np.asarray(post["boxes"], np.float32)
+        scores = np.asarray(post["scores"], np.float32)
+        classes = np.asarray(post["classes"], np.int32)
+        valid = np.asarray(post["valid"], bool)
+        out = []
+        for b, s, c in zip(boxes[valid], scores[valid], classes[valid]):
+            x1 = float(np.clip((b[0] - left) / gain, 0, w0))
+            y1 = float(np.clip((b[1] - top) / gain, 0, h0))
+            x2 = float(np.clip((b[2] - left) / gain, 0, w0))
+            y2 = float(np.clip((b[3] - top) / gain, 0, h0))
+            name = (self.class_names[int(c)]
+                    if int(c) < len(self.class_names) else str(int(c)))
+            out.append(Detection((x1, y1, x2, y2), float(s), int(c), name))
+        return out
+
+
 class ThresholdBlobDetector:
     """Deterministic detector for tests / weightless environments: bright
     blobs above a threshold become class-0 detections."""
