@@ -9,6 +9,9 @@ pluggable :class:`PromptSegmenter` protocol:
 - :class:`OwlVitBoxProposer` — open-vocabulary text→box grounding (HF
   OWL-ViT, local weights), playing GroundingDINO's role
   (lang_sam.py:91-103),
+- :class:`FlaxSamSegmenter` — the NATIVE SAM (:mod:`nsof_tpu.models.sam`,
+  full architecture in Flax, official-checkpoint converter) with box
+  prompts, jitted on TPU,
 - :class:`TransformersSamSegmenter` — HF ``transformers`` SAM with
   box prompts (when weights are available locally),
 - :func:`lang_sam_segmenter` — the full text→boxes→masks chain
@@ -158,19 +161,57 @@ class TransformersSamSegmenter:
         return [np.asarray(m[0]) > 0 for m in masks]
 
 
+class FlaxSamSegmenter:
+    """The NATIVE promptable segmenter: box prompts from a proposer into
+    :mod:`nsof_tpu.models.sam` (full SAM in Flax, jitted on TPU) —
+    multimask_output=False, exactly the reference's predict_sam call
+    (lang_sam.py:105-115).  Build from an official ``sam_vit_*.pth``
+    via :func:`for_checkpoint`, or pass (config, params) directly."""
+
+    def __init__(self, config, params, box_proposer=None):
+        from nsof_tpu.models.sam import SamPredictor
+
+        self.predictor = SamPredictor(config, params)
+        self.box_proposer = box_proposer or (
+            lambda img, prompt: [[0, 0, img.shape[1], img.shape[0]]]
+        )
+
+    @classmethod
+    def for_checkpoint(cls, path: str, box_proposer=None):
+        from nsof_tpu.models.sam import load_sam_checkpoint
+
+        cfg, params = load_sam_checkpoint(path)
+        return cls(cfg, params, box_proposer)
+
+    def __call__(self, image_rgb, text_prompt):
+        boxes = self.box_proposer(image_rgb, text_prompt)
+        if not boxes:
+            return []
+        self.predictor.set_image(image_rgb)
+        masks, _, _ = self.predictor.predict(
+            boxes=np.asarray(boxes, np.float32), multimask_output=False
+        )
+        return [m[0] for m in masks]
+
+
 def lang_sam_segmenter(
     sam_model: str = "facebook/sam-vit-base",
     owl_model: str = "google/owlvit-base-patch32",
     score_threshold: float = 0.3,
-) -> "TransformersSamSegmenter":
+    sam_checkpoint: Optional[str] = None,
+) -> PromptSegmenter:
     """The full LangSAM chain (lang_sam.py:117-123): open-vocabulary
     text→boxes (OWL-ViT standing in for GroundingDINO) feeding SAM
-    box-prompted mask prediction.  Both models need locally cached
-    weights; build the pieces separately to substitute stand-ins."""
-    return TransformersSamSegmenter(
-        sam_model,
-        box_proposer=OwlVitBoxProposer(owl_model, score_threshold),
-    )
+    box-prompted mask prediction.  With ``sam_checkpoint`` (an official
+    ``sam_vit_*.pth``) the native Flax SAM runs the mask stage on TPU;
+    otherwise the HF ``transformers`` SAM is used (locally cached
+    weights).  Build the pieces separately to substitute stand-ins."""
+    proposer = OwlVitBoxProposer(owl_model, score_threshold)
+    if sam_checkpoint is not None:
+        return FlaxSamSegmenter.for_checkpoint(
+            sam_checkpoint, box_proposer=proposer
+        )
+    return TransformersSamSegmenter(sam_model, box_proposer=proposer)
 
 
 @dataclasses.dataclass
