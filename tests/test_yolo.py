@@ -31,6 +31,7 @@ def converted():
     return state, convert_yolov8(state, CFG)
 
 
+@pytest.mark.slow
 def test_conversion_matches_init_tree(converted):
     _, params = converted
     model = YOLOv8(CFG)
