@@ -109,6 +109,90 @@ class OwlVitBoxProposer:
         return [list(map(float, b)) for b in boxes]
 
 
+class FlaxOwlVitBoxProposer:
+    """NATIVE open-vocabulary text→box grounding — OWL-ViT in Flax
+    (:mod:`nsof_tpu.models.owlvit`), the GroundingDINO stage of LangSAM
+    (``predict_dino``, lang_sam.py:91-103) running jitted on TPU.
+
+    Default construction converts a locally cached HF
+    ``OwlViTForObjectDetection`` checkpoint (torch touched once, for the
+    state_dict + tokenizer only); :meth:`from_params` builds one from an
+    in-memory param tree (used by the weightless interface tests).
+    """
+
+    # CLIP preprocessing constants (HF OwlViTImageProcessor defaults)
+    _MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    _STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def __init__(self, model_name: str = "google/owlvit-base-patch32",
+                 score_threshold: float = 0.3):
+        from transformers import AutoTokenizer, OwlViTForObjectDetection
+
+        from nsof_tpu.models.owlvit import convert_owlvit
+
+        torch_model = OwlViTForObjectDetection.from_pretrained(model_name)
+        cfg, params = convert_owlvit(torch_model.state_dict())
+        del torch_model
+        hf_tok = AutoTokenizer.from_pretrained(model_name)
+
+        def tokenizer(text: str) -> np.ndarray:
+            return np.asarray(
+                hf_tok(
+                    text,
+                    padding="max_length",
+                    truncation=True,
+                    max_length=cfg.max_text_len,
+                )["input_ids"],
+                dtype=np.int32,
+            )
+
+        self._init(cfg, params, tokenizer, score_threshold)
+
+    @classmethod
+    def from_params(cls, cfg, params, tokenizer, score_threshold=0.3):
+        self = cls.__new__(cls)
+        self._init(cfg, params, tokenizer, score_threshold)
+        return self
+
+    def _init(self, cfg, params, tokenizer, score_threshold):
+        import jax
+
+        from nsof_tpu.models.owlvit import OwlVit
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.score_threshold = score_threshold
+        model = OwlVit(cfg)
+        self._apply = jax.jit(
+            lambda px, ids: model.apply({"params": params}, px, ids)
+        )
+
+    def __call__(self, image_rgb, text_prompt):
+        import cv2
+
+        from nsof_tpu.models.owlvit import post_process_detection
+
+        s = self.cfg.image_size
+        resized = cv2.resize(
+            image_rgb, (s, s), interpolation=cv2.INTER_CUBIC
+        ).astype(np.float32) / 255.0
+        pixels = ((resized - self._MEAN) / self._STD)[None]
+        ids = self.tokenizer(text_prompt).reshape(1, 1, -1)
+        out = self._apply(pixels, ids)
+        h, w = image_rgb.shape[:2]
+        boxes, _, _ = post_process_detection(
+            np.asarray(out["logits"][0]),
+            np.asarray(out["pred_boxes"][0]),
+            (h, w),
+            threshold=self.score_threshold,
+        )
+        # HF leaves raw sigmoid-decoded extents unclipped; SAM box
+        # prompts must live inside the image.
+        boxes = np.clip(boxes, 0.0, [w, h, w, h]) if len(boxes) else boxes
+        return [list(map(float, b)) for b in boxes]
+
+
 class BrightnessBoxProposer:
     """Weightless text→box stand-in: bounding boxes of bright/dark blobs
     (polarity from the prompt, like :class:`BrightnessSegmenter`)."""
@@ -199,14 +283,21 @@ def lang_sam_segmenter(
     owl_model: str = "google/owlvit-base-patch32",
     score_threshold: float = 0.3,
     sam_checkpoint: Optional[str] = None,
+    native_grounding: bool = True,
 ) -> PromptSegmenter:
     """The full LangSAM chain (lang_sam.py:117-123): open-vocabulary
     text→boxes (OWL-ViT standing in for GroundingDINO) feeding SAM
     box-prompted mask prediction.  With ``sam_checkpoint`` (an official
     ``sam_vit_*.pth``) the native Flax SAM runs the mask stage on TPU;
     otherwise the HF ``transformers`` SAM is used (locally cached
-    weights).  Build the pieces separately to substitute stand-ins."""
-    proposer = OwlVitBoxProposer(owl_model, score_threshold)
+    weights).  The grounding stage defaults to the native Flax OWL-ViT
+    (converted from the HF checkpoint, jitted on the chip); pass
+    ``native_grounding=False`` for the torch pipeline wrapper.
+    Build the pieces separately to substitute stand-ins."""
+    if native_grounding:
+        proposer = FlaxOwlVitBoxProposer(owl_model, score_threshold)
+    else:
+        proposer = OwlVitBoxProposer(owl_model, score_threshold)
     if sam_checkpoint is not None:
         return FlaxSamSegmenter.for_checkpoint(
             sam_checkpoint, box_proposer=proposer

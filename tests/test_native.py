@@ -128,4 +128,4 @@ def test_gt_tooling_lang_sam_chain_structure(monkeypatch):
         seg = gt.lang_sam_segmenter()
     except Exception:
         pytest.skip("pretrained OWL-ViT/SAM weights not cached locally")
-    assert isinstance(seg.box_proposer, gt.OwlVitBoxProposer)
+    assert isinstance(seg.box_proposer, gt.FlaxOwlVitBoxProposer)
