@@ -565,6 +565,10 @@ def main(argv=None) -> int:
     p.add_argument("--substeps", type=int, default=1000)
     p.add_argument("--out", default=None)
 
+    p = sub.add_parser("serve")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=7860)
+
     p = sub.add_parser("visualize")
     p.add_argument("npz")
     p.add_argument("--mode", choices=["abs", "delta", "rel"], default="abs")
@@ -593,6 +597,11 @@ def main(argv=None) -> int:
         return cmd_validate(args)
     if args.cmd == "stream":
         return cmd_stream(args)
+    if args.cmd == "serve":
+        from nsof_tpu.serve import serve
+
+        serve(args.host, args.port)
+        return 0
     return cmd_visualize(args)
 
 
