@@ -18,6 +18,7 @@ inputs and fetch a scalar reduction to the host.
 
 import dataclasses
 import json
+import sys
 import time
 
 import numpy as np
@@ -92,6 +93,17 @@ def main():
         float(step(mem_j, prevs[i % n_var], nxts[(i + 1) % n_var]))
         samples.append(time.perf_counter() - t0)
     per_batch = float(np.median(samples))
+
+    if "--profile-dir" in sys.argv:
+        # capture a device trace of 2 steady-state dispatches (xprof /
+        # Perfetto / TensorBoard); does not affect the timed samples above
+        from nsof_tpu.utils.timing import profile_trace
+
+        log_dir = sys.argv[sys.argv.index("--profile-dir") + 1]
+        with profile_trace(log_dir):
+            for i in range(2):
+                float(step(mem_j, prevs[i % n_var], nxts[(i + 1) % n_var]))
+        print(f"# profiler trace written to {log_dir}", file=sys.stderr)
     fps = B / per_batch
     p50_ms = 1e3 * per_batch / B
 

@@ -7,3 +7,4 @@ from nsof_tpu.serve.app import (  # noqa: F401
     make_server,
     serve,
 )
+from nsof_tpu.serve.engine import BatchingEngine, EngineStats  # noqa: F401

@@ -68,3 +68,20 @@ class StageTimer:
 
     def summary(self) -> dict[str, float]:
         return {k: float(np.mean(v)) for k, v in self.records.items()}
+
+
+def profile_trace(log_dir: str):
+    """Context manager capturing a ``jax.profiler`` device trace to
+    ``log_dir`` (viewable in TensorBoard / Perfetto / xprof) — the deep
+    counterpart of the wall-clock harness above, exposing per-HLO TPU
+    step timings, HBM traffic, and fusion boundaries.
+
+    Usage::
+
+        with profile_trace("/tmp/nsof_trace"):
+            jax.block_until_ready(step(x))
+
+    bench.py exposes this as ``--profile-dir``; the CLI pipelines via
+    ``nsof_tpu … --profile-dir``.
+    """
+    return jax.profiler.trace(log_dir, create_perfetto_trace=True)
