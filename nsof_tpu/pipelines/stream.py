@@ -76,7 +76,9 @@ def _scan_device_maps(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sim", "warp_radius", "kernel_mode")
+    jax.jit,
+    static_argnames=("cfg", "sim", "warp_radius", "kernel_mode",
+                     "return_flow"),
 )
 def stream_masks(
     frames_gray: Array,
@@ -85,6 +87,7 @@ def stream_masks(
     w0: Optional[Array] = None,
     warp_radius: int | None = None,
     kernel_mode: str = "auto",
+    return_flow: bool = False,
 ) -> dict[str, Array]:
     """Frames → device-state scan → ROI-gated batched seg masks.
 
@@ -96,6 +99,9 @@ def stream_masks(
         sim: device-integration constants (MATLAB parameter struct).
         w0: [gh, gw] initial state (default ``w_init``); pass the previous
             chunk's ``w_final`` to continue a stream.
+        return_flow: also return the scattered full-image ``flow``
+            [T-1, H, W, 2] (negated Farnebäck convention,
+            optical_flow_seg.py:461; zeros outside the ROI).
 
     Returns dict with ``masks`` [T-1, H, W] u8, ``boxes`` [T-1, 4],
     ``any_active`` [T-1], ``region_pct`` [T-1], ``mem_gray`` [T-1, gh, gw]
@@ -117,8 +123,9 @@ def stream_masks(
         cfg,
         warp_radius,
         kernel_mode,
+        return_flow=return_flow,
     )
-    return {
+    res = {
         "masks": out["mask"],
         "boxes": out["box"],
         "any_active": out["any_active"],
@@ -126,6 +133,9 @@ def stream_masks(
         "mem_gray": mem_gray,
         "w_final": w_final,
     }
+    if return_flow:
+        res["flow"] = out["flow"]
+    return res
 
 
 def stream_masks_from_events(

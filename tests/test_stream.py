@@ -123,6 +123,53 @@ def test_chunked_equals_oneshot(stream_out):
     )
 
 
+@pytest.mark.slow
+def test_stream_flow_recovers_true_velocity():
+    """End-to-end physics: frames → device scan → ROI → Farnebäck flow
+    must measure the object's TRUE velocity, through the whole stack.
+
+    A textured box (so flow is well-defined over its interior, not just
+    its edges) translates at exactly SPEED px/frame; the scattered flow
+    (negated Farnebäck convention, optical_flow_seg.py:461) inside the
+    eroded box must be ≈ (−SPEED, 0) once the device state has charged.
+    """
+    rng = np.random.default_rng(11)
+    tex = (rng.random((BOX, BOX)) * 180 + 40).astype(np.uint8)
+    t = 14
+    frames = np.full((t, H, W), 20, np.uint8)
+    y0 = 60
+    for i in range(t):
+        x0 = 8 + SPEED * i
+        frames[i, y0 : y0 + BOX, x0 : x0 + BOX] = tex
+
+    import jax.numpy as jnp
+
+    from nsof_tpu.device.frame_sim import compress_frames
+    from nsof_tpu.pipelines.stream import _scan_device_maps
+
+    sim = _sim()
+    comp = compress_frames(
+        jnp.asarray(frames, jnp.float32) / 255.0, sim.m, sim.n
+    )
+    w0 = jnp.full(comp.shape[1:], sim.params.w_init, jnp.float32)
+    _, mem = _scan_device_maps(comp, sim, w0)
+    out = stream_masks(
+        frames, _cfg(_thres(np.asarray(mem))), sim, return_flow=True
+    )
+    flow = np.asarray(out["flow"])
+    assert flow.shape == (t - 1, H, W, 2)
+    active = np.asarray(out["any_active"])
+    assert active[3:].all()
+    for i in range(4, t - 1):
+        x0 = 8 + SPEED * (i + 1)  # box position in the NEXT frame
+        # interior sample well clear of both frames' box borders
+        inner = flow[i, y0 + 12 : y0 + BOX - 12, x0 : x0 + BOX - 12 - SPEED]
+        med_dx = float(np.median(inner[..., 0]))
+        med_dy = float(np.median(inner[..., 1]))
+        assert abs(med_dx - (-SPEED)) < 0.5, (i, med_dx)
+        assert abs(med_dy) < 0.5, (i, med_dy)
+
+
 def test_event_gated_stream():
     """Hybrid path: synthetic event stream gates flow on matching frames.
 
