@@ -28,6 +28,7 @@ semantics, :246).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -177,9 +178,12 @@ def bin_events(
     )
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class EventSimConfig:
-    """Knobs of the event simulator (CLI defaults, event_mem_sim.py:334-352)."""
+    """Knobs of the event simulator (CLI defaults, event_mem_sim.py:334-352).
+
+    Frozen/hashable: it is a static jit argument of the simulation core.
+    """
 
     version: int = 1
     active_v: float = -6.0
@@ -264,12 +268,37 @@ def simulate_events(
         return {"w_final": state0["w"][0], "resistances": empty,
                 "w_final_b": jnp.zeros((0,)),
                 "resistances_b": jnp.zeros((0,)), "state": state0}
+    if cfg.version == 1:
+        pack = {"counts": binned.counts, "valid": binned.valid}
+    else:
+        masks = (
+            (binned.on_any, binned.off_any)
+            if cfg.polarity == "split"
+            else (binned.any_ev,)
+        )
+        pack = {"masks": masks, "t_first": binned.t_first,
+                "t_last": binned.t_last, "valid": binned.valid}
+    return _simulate_events_traced(
+        pack, state0, jnp.int32(time_offset), cfg=cfg
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _simulate_events_traced(pack, state0, time_offset, cfg: EventSimConfig):
+    """Whole-simulation core as ONE jitted program.
+
+    Outside jit every surrounding op dispatches eagerly — ~30 ms each over
+    the remote-TPU tunnel, ~1.3 s per 1000-slice run; as a single program
+    the same simulation executes in ~35 ms (scripts/bench_event_sim.py).
+    ``time_offset`` is traced so chunked streaming reuses one compilation.
+    """
+    p = cfg.params
+    valid = pack["valid"]
+    t = valid.shape[0]
     group = max(1, t // cfg.n_snapshots)
 
-    valid = jnp.asarray(binned.valid)
-
     if cfg.version == 1:
-        active = jnp.asarray(binned.counts >= cfg.theta_events)
+        active = pack["counts"] >= cfg.theta_events
         inputs = {"active": active, "valid": valid}
 
         def step(w_st, inp, want_snap):
@@ -292,12 +321,9 @@ def simulate_events(
 
     # ── version 2 ─────────────────────────────────────────────────────────
     split = cfg.polarity == "split"
-    t_first = jnp.asarray(binned.t_first) + jnp.int32(time_offset)
-    t_last = jnp.asarray(binned.t_last) + jnp.int32(time_offset)
-    if split:
-        masks = (jnp.asarray(binned.on_any), jnp.asarray(binned.off_any))
-    else:
-        masks = (jnp.asarray(binned.any_ev),)
+    t_first = pack["t_first"] + time_offset
+    t_last = pack["t_last"] + time_offset
+    masks = pack["masks"]
 
     inputs = {
         "masks": masks,
