@@ -14,6 +14,7 @@ program with no host round-trips.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -78,11 +79,15 @@ def compress_frames(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def simulate_frames(
     compressed: Array,
     cfg: FrameSimConfig = FrameSimConfig(),
 ) -> dict[str, Array]:
     """Run the device over a sequence of compressed frames.
+
+    Jitted as one program (config static): the whole frame-driven
+    simulation is a single device dispatch, like ``simulate_events``.
 
     Mirrors ``simulate_memristor_array`` (simulationcode_v4_transistor_uav.m:
     187-227): per frame pair the |Δ| map (scaled by 256) goes through the
