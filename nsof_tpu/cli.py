@@ -566,7 +566,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
 
     p = sub.add_parser("serve")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
 
     p = sub.add_parser("visualize")

@@ -130,16 +130,27 @@ class DemoService:
             return self._segmenter, self._segment_backend
 
     def segment(self, req: dict) -> dict:
+        import copy
+
         image = _b64_to_image(req["image"])
         prompt = str(req.get("prompt", ""))
         seg, backend = self.segmenter()
         # box_threshold maps onto the proposer's score_threshold
         # (app.py:22 slider; OWL-ViT has one score, so text_threshold is
-        # accepted but folded into the same gate)
+        # accepted but folded into the same gate).  ThreadingHTTPServer
+        # handles requests concurrently, so never mutate the shared
+        # proposer — give this request a shallow copy carrying its own
+        # threshold (the heavy model/params are shared by reference).
         proposer = getattr(seg, "box_proposer", None)
-        if proposer is not None and "box_threshold" in req:
-            if hasattr(proposer, "score_threshold"):
-                proposer.score_threshold = float(req["box_threshold"])
+        if (
+            proposer is not None
+            and "box_threshold" in req
+            and hasattr(proposer, "score_threshold")
+            and float(req["box_threshold"]) != proposer.score_threshold
+        ):
+            seg = copy.copy(seg)
+            seg.box_proposer = copy.copy(proposer)
+            seg.box_proposer.score_threshold = float(req["box_threshold"])
         masks = seg(image, prompt)
         boxes, labels = [], []
         for m in masks:
@@ -160,10 +171,16 @@ class DemoService:
         }
 
     # -- flow pipeline --------------------------------------------------
+    # Each unique uploaded (h, w, preset) compiles one XLA program; bound
+    # the cache so arbitrary uploads can't grow device memory forever
+    # (oldest-compiled evicted first).
+    _FLOW_CACHE_MAX = 8
+
     def _flow_fn(self, h: int, w: int, preset: str):
         key = (h, w, preset)
-        if key in self._flow_cache:
-            return self._flow_cache[key]
+        with self._lock:
+            if key in self._flow_cache:
+                return self._flow_cache[key]
 
         import jax
 
@@ -201,7 +218,10 @@ class DemoService:
             }
 
         fn = jax.jit(run)
-        self._flow_cache[key] = fn
+        with self._lock:
+            while len(self._flow_cache) >= self._FLOW_CACHE_MAX:
+                self._flow_cache.pop(next(iter(self._flow_cache)))
+            self._flow_cache[key] = fn
         return fn
 
     def flow(self, req: dict) -> dict:
@@ -386,7 +406,7 @@ def make_server(
     return ThreadingHTTPServer((host, port), make_handler(service))
 
 
-def serve(host: str = "0.0.0.0", port: int = 7860, segmenter=None) -> None:
+def serve(host: str = "127.0.0.1", port: int = 7860, segmenter=None) -> None:
     srv = make_server(host, port, segmenter)
     print(f"nsof_tpu demo serving on http://{host}:{srv.server_address[1]}")
     try:

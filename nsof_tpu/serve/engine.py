@@ -142,6 +142,23 @@ class BatchingEngine:
         self._q.put(None)  # unblock the collector
         if wait:
             self._thread.join(timeout=60)
+            # A submit() that passed the _stop check concurrently with this
+            # shutdown may have enqueued its item after the collector's own
+            # drain loop emptied the queue; drain once more so no caller
+            # blocks forever on an unresolved future.
+            self._drain_failing()
+
+    def _drain_failing(self) -> None:
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                try:
+                    item[3].set_exception(RuntimeError("engine shut down"))
+                except Exception:
+                    pass  # already resolved
 
     # -- collector ------------------------------------------------------
     def _bucket_for(self, n: int) -> int:
@@ -176,13 +193,7 @@ class BatchingEngine:
                 batch.append(item)
             self._dispatch(run, batch)
         # drain: fail any stragglers
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[3].set_exception(RuntimeError("engine shut down"))
+        self._drain_failing()
 
     def _dispatch(self, run, batch) -> None:
         n = len(batch)
