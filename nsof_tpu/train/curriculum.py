@@ -43,6 +43,7 @@ __all__ = [
     "SourceSpec",
     "StageSpec",
     "RAFT_STANDARD_STAGES",
+    "FLOWFORMER_STAGES",
     "default_scanners",
     "build_stage_items",
     "mixed_batch_iterator",
@@ -96,6 +97,11 @@ class StageSpec:
     wdecay: float
     gamma: float = 0.8
     restore_from: Optional[str] = None  # previous stage name
+    model: str = "raft"  # model family: 'raft' | 'flowformer'
+    # FlowFormer-only knobs (configs/<stage>.py trainer + optimizer
+    # blocks; ignored for RAFT stages)
+    twins_lr_factor: Optional[float] = None
+    ff_experiment: Optional[str] = None  # key into FF_EXPERIMENTS
 
 
 # The standard RAFT schedule (train_standard.sh:3-6 + fetch_dataloader's
@@ -136,6 +142,62 @@ RAFT_STANDARD_STAGES: tuple[StageSpec, ...] = (
         num_steps=50_000, batch_size=6, lr=1e-4,
         image_size=(288, 960), wdecay=1e-5, gamma=0.85,
         restore_from="sintel",
+    ),
+)
+
+
+def _ff_stage(key: str, stage_name: str, sources, restore_from=None):
+    """Build a FlowFormer StageSpec from its experiment tree
+    (models/flowformer/config.py::FF_EXPERIMENTS — the typed replicas of
+    configs/{default,things,sintel,kitti}.py) + fetch_dataloader's
+    per-stage dataset mix (core/datasets.py:200-229, shared with RAFT)."""
+    from nsof_tpu.models.flowformer.config import get_experiment
+
+    exp = get_experiment(key)
+    return StageSpec(
+        name=stage_name,
+        sources=sources,
+        restore_from=restore_from,
+        model="flowformer",
+        ff_experiment=key,
+        # optimizer/__init__.py:22-33 trains the twins backbones at
+        # 0.05× the canonical lr when pretrained weights are loaded
+        twins_lr_factor=0.05,
+        **exp.train_stage_kwargs(),
+    )
+
+
+# The FlowFormer staged schedule (train_FlowFormer.py:139-154 maps
+# --stage {chairs,things,sintel,kitti} onto configs/{default,things,
+# sintel,kitti}.py; dataset mixes from the shared fetch_dataloader).
+FLOWFORMER_STAGES: tuple[StageSpec, ...] = (
+    _ff_stage(
+        "chairs", "ff_chairs",
+        (SourceSpec("chairs", 1, -0.1, 1.0, True),),
+    ),
+    _ff_stage(
+        "things", "ff_things",
+        (
+            SourceSpec("things_clean", 1, -0.4, 0.8, True),
+            SourceSpec("things_final", 1, -0.4, 0.8, True),
+        ),
+        restore_from="ff_chairs",
+    ),
+    _ff_stage(
+        "sintel", "ff_sintel",
+        (
+            SourceSpec("sintel_clean", 100, -0.2, 0.6, True),
+            SourceSpec("sintel_final", 100, -0.2, 0.6, True),
+            SourceSpec("kitti", 200, -0.3, 0.5, True, sparse=True),
+            SourceSpec("hd1k", 5, -0.5, 0.2, True, sparse=True),
+            SourceSpec("things_clean", 1, -0.2, 0.6, True),
+        ),
+        restore_from="ff_things",
+    ),
+    _ff_stage(
+        "kitti", "ff_kitti",
+        (SourceSpec("kitti", 1, -0.2, 0.4, False, sparse=True),),
+        restore_from="ff_sintel",
     ),
 )
 
@@ -241,29 +303,57 @@ def run_stage(
     initialisation — the optimizer restarts with this stage's schedule,
     exactly like ``--restore_ckpt`` + a new OneCycle (train.py:141-142,
     79-86).  ``num_steps`` overrides the spec for smoke runs.
+
+    Dispatches on ``stage.model``: RAFT stages drive the RAFT sharded
+    step; FlowFormer stages (FLOWFORMER_STAGES) drive the FF step with
+    this stage's experiment-tree model config and twins lr groups
+    (train_FlowFormer.py:56-66 + core/optimizer/__init__.py:22-33).
+    ``raft_cfg`` overrides the model config for either family (smoke
+    tests pass reduced-size configs through it).
     """
     import jax
 
-    from nsof_tpu.models.raft import RaftConfig
-    from nsof_tpu.parallel.train import (
-        TrainState,
-        create_train_state,
-        make_train_step,
-    )
+    from nsof_tpu.parallel.train import TrainState
     from nsof_tpu.train.trainer import MetricLogger, train_loop
 
     steps = num_steps if num_steps is not None else stage.num_steps
-    cfg = raft_cfg or RaftConfig()
-    if iters is None:
-        iters = cfg.iters
-    model, tx, state = create_train_state(
-        jax.random.PRNGKey(0),
-        mesh,
-        cfg=cfg,
-        image_hw=stage.image_size,
-        lr=stage.lr,
-        num_steps=steps,
-    )
+    if stage.model == "flowformer":
+        from nsof_tpu.models.flowformer.config import get_experiment
+        from nsof_tpu.parallel.train import (
+            create_flowformer_state,
+            make_flowformer_step,
+        )
+
+        cfg = raft_cfg
+        if cfg is None and stage.ff_experiment is not None:
+            cfg = get_experiment(stage.ff_experiment).model
+        model, tx, state = create_flowformer_state(
+            jax.random.PRNGKey(0),
+            mesh,
+            cfg=cfg,
+            image_hw=stage.image_size,
+            lr=stage.lr,
+            num_steps=steps,
+            twins_lr_factor=stage.twins_lr_factor,
+        )
+    else:
+        from nsof_tpu.models.raft import RaftConfig
+        from nsof_tpu.parallel.train import (
+            create_train_state,
+            make_train_step,
+        )
+
+        cfg = raft_cfg or RaftConfig()
+        if iters is None:
+            iters = cfg.iters
+        model, tx, state = create_train_state(
+            jax.random.PRNGKey(0),
+            mesh,
+            cfg=cfg,
+            image_hw=stage.image_size,
+            lr=stage.lr,
+            num_steps=steps,
+        )
     if init_params is not None:
         params = jax.tree.map(
             lambda tgt, src: jax.device_put(src, tgt.sharding),
@@ -275,8 +365,11 @@ def run_stage(
     batches = mixed_batch_iterator(items, stage.batch_size, rng)
     ckpt_dir = pathlib.Path(ckpt_root) / stage.name
     logger = MetricLogger(str(ckpt_dir / "metrics.jsonl"))
-    step_fn = make_train_step(model, tx, mesh, iters=iters,
-                              gamma=stage.gamma)
+    if stage.model == "flowformer":
+        step_fn = make_flowformer_step(model, tx, mesh, gamma=stage.gamma)
+    else:
+        step_fn = make_train_step(model, tx, mesh, iters=iters,
+                                  gamma=stage.gamma)
     state, info = train_loop(
         step_fn, state, batches, steps, logger=logger,
         ckpt_dir=str(ckpt_dir), val_freq=val_freq,

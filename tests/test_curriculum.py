@@ -10,6 +10,7 @@ import pytest
 
 from nsof_tpu.data import flow_datasets as fd
 from nsof_tpu.train.curriculum import (
+    FLOWFORMER_STAGES,
     RAFT_STANDARD_STAGES,
     SourceSpec,
     StageSpec,
@@ -134,6 +135,144 @@ def test_scan_hd1k_layout(tmp_path):
                 np.zeros((8, 8, 2), np.float32))
     pairs = fd.scan_hd1k(tmp_path)
     assert len(pairs) == 4  # 2 per sequence (len(flows)-1)
+
+
+def test_ff_experiment_trees_match_reference():
+    """FF_EXPERIMENTS value-for-value vs the reference config trees
+    (configs/{default,things,sintel,kitti,things_eval,small_things_eval,
+    submission,things_flowformer_sharp}.py)."""
+    from nsof_tpu.models.flowformer.config import (
+        FF_EXPERIMENTS,
+        get_experiment,
+    )
+
+    assert set(FF_EXPERIMENTS) == {
+        "chairs", "things", "sintel", "kitti", "things_eval",
+        "small_things_eval", "submission", "things_sharp",
+    }
+
+    # configs/default.py:4-62 (the chairs stage, train_FlowFormer.py:146)
+    c = get_experiment("chairs")
+    assert (c.batch_size, c.image_size, c.val_freq) == (8, (368, 496), 5000)
+    assert c.canonical_lr == 25e-5 and c.restore_ckpt is None
+    assert c.gamma == 0.8 and c.adamw_decay == 1e-4
+    assert c.model.decoder_depth == 12
+
+    # configs/things.py:4-61
+    t = get_experiment("things")
+    assert (t.gamma, t.batch_size, t.image_size) == (0.8, 6, (432, 960))
+    assert t.restore_ckpt == "chairs" and t.add_noise
+    assert t.num_steps == 120_000 and t.canonical_lr == 12.5e-5
+    assert t.adamw_decay == 1e-4 and t.max_flow == 400.0
+    assert (t.clip, t.epsilon) == (1.0, 1e-8)
+
+    # configs/sintel.py: gamma 0.85, restores things, decay 1e-5
+    s = get_experiment("sintel")
+    assert s.gamma == 0.85 and s.restore_ckpt == "things"
+    assert s.adamw_decay == 1e-5 and s.num_steps == 120_000
+
+    # configs/kitti.py: 50k steps, val_freq 499999999, restores sintel
+    k = get_experiment("kitti")
+    assert k.num_steps == 50_000 and k.val_freq == 499_999_999
+    assert k.restore_ckpt == "sintel" and k.gamma == 0.85
+
+    # configs/things_eval.py: batch 1, no noise, depth-32 decoder
+    e = get_experiment("things_eval")
+    assert e.batch_size == 1 and not e.add_noise
+    assert e.model.decoder_depth == 32 and e.eval_ckpt == "things"
+
+    # configs/small_things_eval.py:25-44 — the FlowFormer-small arch
+    sm = get_experiment("small_things_eval").model
+    assert (sm.cost_latent_token_num, sm.cost_latent_dim) == (4, 32)
+    assert sm.encoder_depth == 1 and sm.vert_c_dim == 0
+    assert sm.cnet == "basic" and sm.fnet == "basic"
+    assert sm.decoder_depth == 32
+
+    # configs/submission.py loads the sintel checkpoint
+    assert get_experiment("submission").eval_ckpt == "sintel"
+
+    # configs/things_flowformer_sharp.py: the 400×720 crop
+    assert get_experiment("things_sharp").image_size == (400, 720)
+
+    with pytest.raises(KeyError):
+        get_experiment("nope")
+
+
+def test_flowformer_stage_table():
+    """FLOWFORMER_STAGES chains chairs→things→sintel→kitti with the
+    experiment trees' schedules and fetch_dataloader's mixes."""
+    by_name = {s.name: s for s in FLOWFORMER_STAGES}
+    assert list(by_name) == ["ff_chairs", "ff_things", "ff_sintel",
+                             "ff_kitti"]
+    assert all(s.model == "flowformer" for s in FLOWFORMER_STAGES)
+    assert all(s.twins_lr_factor == 0.05 for s in FLOWFORMER_STAGES)
+
+    ch = by_name["ff_chairs"]
+    assert (ch.batch_size, ch.lr, ch.image_size) == (8, 25e-5, (368, 496))
+    assert ch.restore_from is None and ch.ff_experiment == "chairs"
+
+    th = by_name["ff_things"]
+    assert th.restore_from == "ff_chairs" and th.image_size == (432, 960)
+    assert {s.name for s in th.sources} == {"things_clean", "things_final"}
+
+    si = by_name["ff_sintel"]
+    assert si.restore_from == "ff_things"
+    assert {s.name: s.weight for s in si.sources} == {
+        "sintel_clean": 100, "sintel_final": 100,
+        "kitti": 200, "hd1k": 5, "things_clean": 1,
+    }
+    assert si.gamma == 0.85 and si.wdecay == 1e-5
+
+    ki = by_name["ff_kitti"]
+    assert ki.restore_from == "ff_sintel" and ki.num_steps == 50_000
+    assert not ki.sources[0].do_flip and ki.sources[0].sparse
+
+
+@pytest.mark.slow
+def test_ff_curriculum_stage_hand_off(tmp_path):
+    """A tiny FlowFormer stage chain on synthetic sources: stage 2 must
+    start from stage 1's weights (the restore_ckpt chain of
+    train_FlowFormer.py:60-62 across configs/{things,sintel}.py)."""
+    run_in_cpu_subprocess(
+        f"""
+import numpy as np
+import jax
+from nsof_tpu.data import flow_datasets as fd
+from nsof_tpu.models.flowformer import FlowFormerConfig
+from nsof_tpu.parallel.mesh import make_mesh
+from nsof_tpu.train.curriculum import (
+    SourceSpec, StageSpec, run_curriculum)
+
+rng = np.random.default_rng(0)
+data = fd.synthetic_affine_dataset(rng, n=8, size=(96, 96), max_shift=3)
+scanners = {{'synth': lambda: data}}
+tiny = FlowFormerConfig(decoder_depth=2, encoder_depth=1,
+                        cnet='basic', fnet='basic')
+stages = (
+    StageSpec('f1', (SourceSpec('synth', 1, -0.1, 0.1, True),),
+              num_steps=2, batch_size=4, lr=1e-4,
+              image_size=(64, 64), wdecay=1e-4,
+              model='flowformer', twins_lr_factor=0.05),
+    # zero-step stage: its params must BE f1's — the hand-off is real
+    StageSpec('f2', (SourceSpec('synth', 1, -0.1, 0.1, True),),
+              num_steps=0, batch_size=4, lr=5e-5,
+              image_size=(64, 64), wdecay=1e-5, gamma=0.85,
+              model='flowformer', twins_lr_factor=0.05,
+              restore_from='f1'),
+)
+mesh = make_mesh(8, model_parallel=2)  # dp=4 matches batch_size=4
+results = run_curriculum(
+    mesh, None, {str(tmp_path)!r}, stages=stages, scanners=scanners,
+    raft_cfg=tiny, val_freq=100)
+assert int(results['f1'].step) == 2
+same = jax.tree.map(
+    lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+    results['f2'].params, results['f1'].params)
+assert all(jax.tree.leaves(same)), 'FF restore_from did not hand off'
+print('ff curriculum ok')
+""",
+        timeout=900,
+    )
 
 
 @pytest.mark.slow
