@@ -227,11 +227,7 @@ def main():
     if out_path.exists():
         rows = json.loads(out_path.read_text())
     for name in names:
-        # grasp's exact path is full-frame 1920x1080 per pair — bound it
-        mp = max_pairs if max_pairs is not None else (
-            24 if name == "grasp" else None
-        )
-        row = audit_scene(name, max_pairs=mp)
+        row = audit_scene(name, max_pairs=max_pairs)
         rows[name] = row
         print("ROW " + json.dumps(row), flush=True)
         out_path.parent.mkdir(exist_ok=True)
