@@ -1,0 +1,214 @@
+"""Training-at-reference-shape rehearsal on the real chip.
+
+The reference trains RAFT at crop 368×496, batch 6-10
+(codebase/RAFT/train_standard.sh:3-6); all repo smoke runs so far used
+tiny crops on a virtual CPU mesh.  This runs a few hundred real train
+steps at the reference shape on the TPU and records:
+
+* step time (median, synchronous: every step fetches the loss scalar;
+  each batch is freshly salted so no dispatch repeats),
+* MFU (XLA cost-analysis FLOPs of the compiled step / time / v5e bf16
+  peak 197 TFLOP/s),
+* HBM in use (device memory_stats, when the runtime exposes them),
+* an orbax save → restore → bit-equal-params check mid-run (the
+  checkpoint/resume path at shape).
+
+Optionally (--ff) the FlowFormer chairs-stage shape (368×496, batch 8,
+configs/default.py) gets the same treatment.
+
+Writes results/train_shape.json and prints one summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+# Persist XLA compiles (tunnel compiles dominate wall time; reruns and the
+# AOT cost-analysis lower().compile() calls hit the cache instead).
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+V5E_BF16_PEAK = 197e12
+
+
+def _flops_of(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0)) if ca else 0.0
+
+
+def _hbm_stats():
+    import jax
+
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        return {
+            "bytes_in_use": ms.get("bytes_in_use"),
+            "peak_bytes_in_use": ms.get("peak_bytes_in_use"),
+            "bytes_limit": ms.get("bytes_limit"),
+        }
+    except Exception:
+        return None
+
+
+def synth_batch(rng, b, h, w, salt):
+    i1 = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    i1[:, 0, 0, 0] = salt % 251
+    return {
+        "image1": i1,
+        "image2": (rng.random((b, h, w, 3)) * 255).astype(np.float32),
+        "flow": rng.standard_normal((b, h, w, 2)).astype(np.float32) * 3,
+        "valid": np.ones((b, h, w), np.float32),
+    }
+
+
+def rehearse(name, make_state_and_step, batch_shape, steps, ckpt_every):
+    import jax
+
+    from nsof_tpu.train.trainer import restore_checkpoint, save_checkpoint
+
+    b, h, w = batch_shape
+    rng = np.random.default_rng(0)
+    state, step_fn, step_jitted_probe = make_state_and_step()
+
+    batch0 = synth_batch(rng, b, h, w, 0)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch0)
+    float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    flops = 0.0
+    if step_jitted_probe is not None:
+        try:
+            flops = _flops_of(
+                step_jitted_probe.lower(state, batch0).compile())
+        except Exception as e:  # cost analysis optional over the tunnel
+            print(f"# {name}: cost_analysis unavailable ({e})", flush=True)
+
+    ts, losses = [], []
+    ckpt_dir = tempfile.mkdtemp(prefix=f"trainshape_{name}_")
+    resumed_ok = None
+    for i in range(1, steps + 1):
+        batch = synth_batch(rng, b, h, w, i)
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        ts.append(time.perf_counter() - t0)
+        losses.append(loss)
+        if i == ckpt_every:
+            save_checkpoint(ckpt_dir, i, state)
+            restored = restore_checkpoint(ckpt_dir, state)
+            same = jax.tree.map(
+                lambda a, b_: bool(
+                    np.array_equal(np.asarray(a), np.asarray(b_))),
+                jax.device_get(state.params),
+                jax.device_get(restored.params),
+            )
+            resumed_ok = all(jax.tree.leaves(same))
+    step_s = float(np.median(ts))
+    hbm = _hbm_stats()
+    row = {
+        "config": name,
+        "batch": b, "crop_hw": [h, w],
+        "steps": steps,
+        "compile_s": compile_s,
+        "step_ms_p50": step_s * 1e3,
+        "steps_per_s": 1.0 / step_s,
+        "frames_per_s": b / step_s,
+        "step_gflops": flops / 1e9,
+        "mfu": flops / step_s / V5E_BF16_PEAK if flops else None,
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "orbax_resume_bit_equal": resumed_ok,
+        "hbm": hbm,
+    }
+    print(f"# {name}: {step_s*1e3:.0f} ms/step "
+          f"({b/step_s:.1f} frames/s"
+          + (f", {row['mfu']*100:.1f}% MFU" if row["mfu"] else "")
+          + (f", peak HBM {hbm['peak_bytes_in_use']/2**30:.1f} GiB"
+             if hbm and hbm.get("peak_bytes_in_use") else "")
+          + f", resume bit-equal: {resumed_ok})", flush=True)
+    return row
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--ff", action="store_true",
+                    help="also rehearse the FlowFormer chairs stage")
+    ap.add_argument("--batch", type=int, default=6)
+    args = ap.parse_args()
+
+    from nsof_tpu.models.raft import RaftConfig
+    from nsof_tpu.parallel.mesh import make_mesh
+    from nsof_tpu.parallel.train import (
+        create_flowformer_state,
+        create_train_state,
+        make_flowformer_step,
+        make_train_step,
+    )
+
+    mesh = make_mesh(len(jax.devices()))
+    rows = {"device": str(jax.devices()[0]),
+            "peak_flops_bf16": V5E_BF16_PEAK, "runs": []}
+
+    def raft_setup():
+        cfg = RaftConfig(iters=12, compute_dtype=jnp.bfloat16)
+        model, tx, state = create_train_state(
+            jax.random.PRNGKey(0), mesh, cfg=cfg, image_hw=(368, 496),
+            lr=4e-4, num_steps=max(args.steps + 1, 100))
+        step = make_train_step(model, tx, mesh, iters=12)
+        return state, step, step
+
+    rows["runs"].append(rehearse(
+        "raft-basic_b%d_368x496_i12" % args.batch, raft_setup,
+        (args.batch, 368, 496), args.steps, ckpt_every=args.steps // 2))
+
+    if args.ff:
+        from nsof_tpu.models.flowformer.config import get_experiment
+
+        def ff_setup():
+            exp = get_experiment("chairs")
+            cfg = dataclasses.replace(
+                exp.model, compute_dtype=jnp.bfloat16)
+            model, tx, state = create_flowformer_state(
+                jax.random.PRNGKey(0), mesh, cfg=cfg, image_hw=(368, 496),
+                lr=exp.canonical_lr, num_steps=max(args.steps + 1, 100),
+                twins_lr_factor=0.05)
+            step = make_flowformer_step(model, tx, mesh, gamma=exp.gamma)
+            return state, step, step
+
+        rows["runs"].append(rehearse(
+            "flowformer-chairs_b8_368x496", ff_setup,
+            (8, 368, 496), max(args.steps // 4, 20),
+            ckpt_every=max(args.steps // 8, 10)))
+
+    out = REPO / "results" / "train_shape.json"
+    out.write_text(json.dumps(rows, indent=1))
+    r0 = rows["runs"][0]
+    print(json.dumps({
+        "metric": "raft_train_step_ms_at_reference_shape",
+        "value": round(r0["step_ms_p50"], 1),
+        "unit": "ms/step (batch %d, 368x496, 12 iters)" % r0["batch"],
+        "mfu": round(r0["mfu"], 4) if r0["mfu"] else None,
+        "written": str(out),
+    }))
+
+
+if __name__ == "__main__":
+    main()
