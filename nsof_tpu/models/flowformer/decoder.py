@@ -158,11 +158,13 @@ class MemoryDecoder(nn.Module):
     cfg: FlowFormerConfig
 
     @nn.compact
-    def __call__(self, cost_memory, context, cost_maps, flow_init=None):
+    def __call__(self, cost_memory, context, cost_maps, flow_init=None,
+                 test_mode: bool = False):
         """cost_memory [B*H1*W1, K, D]; context [B, H1, W1, 256];
         cost_maps [B*H1*W1, H2, W2, heads].
 
-        Returns the list of per-step upsampled flows.
+        Returns the list of per-step upsampled flows, or just the final
+        flow when ``test_mode`` (no [depth, B, H, W, 2] stack on device).
         """
         c = self.cfg
         dt = c.compute_dtype
@@ -180,17 +182,6 @@ class MemoryDecoder(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        # flow-token encoder: 81·heads cost window → query_latent_dim
-        # (decoder.py:157-161: Conv(81·heads→dim) → GELU → Conv(dim→dim))
-        flow_token_encoder = nn.Sequential(
-            [nn.Conv(c.query_latent_dim, (1, 1), dtype=dt),
-             lambda x: nn.gelu(x, approximate=False),
-             nn.Conv(c.query_latent_dim, (1, 1), dtype=dt)],
-            name="flow_token_encoder",
-        )
-        cross = DecoderCrossAttention(c, name="decoder_layer")
-        update = GMAUpdateBlock(dt, name="update_block")
-
         # cost_maps as a [B*H1*W1, 1, H2, W2, heads]-style pyramid source
         # for the r=4 window lookup (decoder.py encode_flow_token)
         cm = cost_maps  # [B*H1*W1, H2, W2, heads]
@@ -202,25 +193,50 @@ class MemoryDecoder(nn.Module):
             cost_memory
         )
 
-        flows = []
-        for _ in range(c.decoder_depth):
+        # Recurrent refinement as ONE lax.scan over the decoder depth
+        # (shared params via nn.scan variable_broadcast).  The reference's
+        # unrolled Python loop (decoder.py:126-160) would inline the GMA
+        # update block depth=32 times into the HLO, blowing up XLA compile
+        # time.  In test mode only the final flow is carried.
+        def step(mdl, carry, _):
+            net, coords1, _ = carry
             coords1 = jax.lax.stop_gradient(coords1)
             cost_forward = corr_lookup([cm], coords1, 4)  # [B, H1, W1, 81]
-            query = flow_token_encoder(cost_forward)
+            # flow-token encoder: 81·heads cost window → query_latent_dim
+            # (decoder.py:157-161: Conv(81·heads→dim)→GELU→Conv(dim→dim))
+            query = nn.Sequential(
+                [nn.Conv(c.query_latent_dim, (1, 1), dtype=dt),
+                 lambda x: nn.gelu(x, approximate=False),
+                 nn.Conv(c.query_latent_dim, (1, 1), dtype=dt)],
+                name="flow_token_encoder", parent=mdl,
+            )(cost_forward)
             query = query.reshape(b * h1 * w1, 1, c.query_latent_dim)
-            cost_global = cross(query, key, value, coords1)
+            cost_global = DecoderCrossAttention(
+                c, name="decoder_layer", parent=mdl
+            )(query, key, value, coords1)
             cost_global = cost_global.reshape(b, h1, w1, c.query_latent_dim)
             if c.only_global:
                 corr = cost_global
             else:
                 corr = jnp.concatenate([cost_global, cost_forward], axis=-1)
             flow = (coords1 - coords0).astype(dt)
-            net, up_mask, delta = update(net, inp, corr.astype(dt), flow,
-                                         attention)
+            net, up_mask, delta = GMAUpdateBlock(
+                dt, name="update_block", parent=mdl
+            )(net, inp, corr.astype(dt), flow, attention)
             coords1 = coords1 + delta.astype(jnp.float32)
-            flows.append(
-                upsample_flow_convex(
-                    coords1 - coords0, up_mask.astype(jnp.float32)
-                )
+            flow_up = upsample_flow_convex(
+                coords1 - coords0, up_mask.astype(jnp.float32)
             )
-        return flows
+            return (net, coords1, flow_up), (None if test_mode else flow_up)
+
+        flow0 = jnp.zeros((b, h1 * 8, w1 * 8, 2), jnp.float32)
+        (net, coords1, flow_up), stacked = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=c.decoder_depth,
+        )(self, (net, coords1, flow0), None)
+
+        if test_mode:
+            return flow_up
+        return [stacked[i] for i in range(c.decoder_depth)]

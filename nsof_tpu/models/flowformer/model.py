@@ -32,9 +32,11 @@ class FlowFormer(nn.Module):
     cfg: FlowFormerConfig = FlowFormerConfig()
 
     @nn.compact
-    def __call__(self, image1, image2, flow_init=None):
+    def __call__(self, image1, image2, flow_init=None,
+                 test_mode: bool = False):
         """[B, H, W, 3] uint8/float frames (H, W divisible by 8) → list of
-        per-step upsampled flows [B, H, W, 2]."""
+        per-step upsampled flows [B, H, W, 2] (or only the final flow when
+        ``test_mode``)."""
         c = self.cfg
         dt = c.compute_dtype
         img1 = (2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0).astype(dt)
@@ -61,7 +63,7 @@ class FlowFormer(nn.Module):
             feat_s, feat_t, context
         )
         return MemoryDecoder(c, name="memory_decoder")(
-            cost_memory, context, cost_maps, flow_init
+            cost_memory, context, cost_maps, flow_init, test_mode=test_mode
         )
 
 

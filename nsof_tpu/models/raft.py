@@ -575,11 +575,9 @@ class RAFT(nn.Module):
         if cfg.small:
             fnet = SmallEncoder(128, "instance", dt, name="fnet")
             cnet = SmallEncoder(hdim + cdim, "none", dt, name="cnet")
-            update = SmallUpdateBlock(cfg, name="update_block")
         else:
             fnet = BasicEncoder(256, "instance", dt, name="fnet")
             cnet = BasicEncoder(hdim + cdim, cfg.cnet_norm, dt, name="cnet")
-            update = BasicUpdateBlock(cfg, name="update_block")
 
         fmap1 = fnet(img1).astype(jnp.float32)
         fmap2 = fnet(img2).astype(jnp.float32)
@@ -607,14 +605,21 @@ class RAFT(nn.Module):
         if flow_init is not None:
             coords1 = coords1 + flow_init
 
-        flows_up = []
-        for _ in range(iters):
+        # Recurrent refinement as ONE lax.scan over iterations (shared
+        # params via nn.scan variable_broadcast) — the unrolled Python loop
+        # the reference uses (core/raft.py:102-127) would inline the update
+        # block `iters` times into the HLO, blowing up XLA compile time.
+        # In test mode only the final upsampled flow is carried, so no
+        # [iters, B, H, W, 2] stack ever materialises on device.
+        update_cls = SmallUpdateBlock if cfg.small else BasicUpdateBlock
+
+        def step(mdl, carry, _):
+            net, coords1, _ = carry
             coords1 = jax.lax.stop_gradient(coords1)
             corr_feat = lookup(coords1)
             flow = (coords1 - coords0).astype(dt)
-            net, up_mask, delta = update(
-                net, inp, corr_feat.astype(dt), flow
-            )
+            upd = update_cls(cfg, name="update_block", parent=mdl)
+            net, up_mask, delta = upd(net, inp, corr_feat.astype(dt), flow)
             coords1 = coords1 + delta.astype(jnp.float32)
             if up_mask is None:
                 flow_up = upflow8(coords1 - coords0)
@@ -622,11 +627,20 @@ class RAFT(nn.Module):
                 flow_up = upsample_flow_convex(
                     coords1 - coords0, up_mask.astype(jnp.float32)
                 )
-            flows_up.append(flow_up)
+            carry = (net, coords1, flow_up)
+            return carry, (None if test_mode else flow_up)
+
+        flow0 = jnp.zeros((b, h8 * 8, w8 * 8, 2), jnp.float32)
+        (net, coords1, flow_up), stacked = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=iters,
+        )(self, (net, coords1, flow0), None)
 
         if test_mode:
-            return coords1 - coords0, flows_up[-1]
-        return flows_up
+            return coords1 - coords0, flow_up
+        return [stacked[i] for i in range(iters)]
 
 
 def forward_interpolate(flow) -> "np.ndarray":

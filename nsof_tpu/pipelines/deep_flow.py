@@ -54,7 +54,9 @@ class DeepBackend:
     @classmethod
     def from_flowformer(cls, model, params):
         def apply(img1, img2):
-            return model.apply({"params": params}, img1, img2)[-1]
+            return model.apply(
+                {"params": params}, img1, img2, test_mode=True
+            )
 
         return cls(apply=apply, name="flowformer")
 
