@@ -212,14 +212,17 @@ def bench_batched_roi(name, backend, cfg, mem, prevs, nxts, batch=8,
 
 def bench_grasp_scene(backend_name, backend, iters=8):
     """Workload B: the real grasp scene at 1/3 shape (640×360), reference
-    pair semantics.  Window == frame for this preset (the merged grasp
-    ROI reaches frame size), so ROI≈full here by scene geometry."""
+    pair semantics, ROI path (456×304 static window — covers the measured
+    max merged deep-scale ROI of 452×300 across all 99 slices) AND the
+    full-frame baseline.  The round-4 'window==frame' saturation was the
+    bench's own window choice, not scene geometry (RESULTS.md)."""
     import jax
     import jax.numpy as jnp
 
     from nsof_tpu.config import DATASETS
     from nsof_tpu.data import load_scene
     from nsof_tpu.pipelines.deep_flow import (
+        deep_full_flow_step,
         deep_roi_flow_step,
         resize_third,
     )
@@ -227,8 +230,14 @@ def bench_grasp_scene(backend_name, backend, iters=8):
     scene = load_scene("/root/reference/data", "grasp", max_frames=14)
     cfg = DATASETS["grasp"]
     h3, w3 = cfg.image_h // 3, cfg.image_w // 3
+    # Round-4 ran window==frame here and reported zero gating benefit;
+    # that was the bench's own choice, not scene geometry: at deep scale
+    # (MEMSIZE/3 on 1/3 frames, raft_seg.py:460-464) the merged grasp ROI
+    # measured over all 99 state slices peaks at 452×300 px (p50 area 10%
+    # of frame) — scripts/scan_roi_sizes.py --deep.  A static 456×304
+    # window covers every pair and keeps the /8 alignment.
     cfg = dataclasses.replace(cfg, image_h=h3, image_w=w3,
-                              window_h=h3, window_w=w3)
+                              window_h=456, window_w=304)
     frames = np.asarray(
         resize_third(jnp.asarray(scene.frames_bgr))).astype(np.uint8)
 
@@ -237,10 +246,16 @@ def bench_grasp_scene(backend_name, backend, iters=8):
         out = deep_roi_flow_step(m, p, n, cfg, backend)
         return out["mask"].astype(jnp.int32).sum() + out["box"].sum()
 
+    @jax.jit
+    def full_step(p, n):
+        out = deep_full_flow_step(p, n, cfg, backend)
+        return out["mask"].astype(jnp.int32).sum()
+
     mem0, _, _ = scene.pair_inputs(0)
     float(step(jnp.asarray(mem0), jnp.asarray(frames[0]),
                jnp.asarray(frames[1])))  # compile
-    ts = []
+    float(full_step(jnp.asarray(frames[0]), jnp.asarray(frames[1])))
+    ts, ts_full = [], []
     n_pairs = min(iters, scene.num_pairs)
     for i in range(n_pairs):
         mem2, _, _ = scene.pair_inputs(i)
@@ -250,18 +265,73 @@ def bench_grasp_scene(backend_name, backend, iters=8):
         t0 = time.perf_counter()
         float(step(m, a, b))
         ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(full_step(a, b))
+        ts_full.append(time.perf_counter() - t0)
     p50 = float(np.median(ts))
+    p50f = float(np.median(ts_full))
     print(f"# {backend_name}: grasp scene 1/3 ({h3}x{w3}) roi "
-          f"{p50*1e3:.1f} ms/frame ({1/p50:.1f} fps, {n_pairs} real pairs)",
-          flush=True)
+          f"{p50*1e3:.1f} ms/frame ({1/p50:.1f} fps) vs full "
+          f"{p50f*1e3:.1f} ms/frame ({n_pairs} real pairs)", flush=True)
     return {
         "backend": backend_name, "scene": "grasp",
         "frame_hw": [h3, w3], "pairs": n_pairs,
         "roi_ms_per_frame_p50": p50 * 1e3,
+        "full_ms_per_frame_p50": p50f * 1e3,
         "roi_fps_sync": 1.0 / p50,
-        "note": "window==frame for grasp (merged ROI reaches frame size); "
-                "ROI-path overhead vs full is the gate itself",
+        "full_fps_sync": 1.0 / p50f,
+        "window_hw": [cfg.window_h, cfg.window_w],
+        "roi_speedup_vs_full": p50f / p50,
+        "note": "456x304 static window covers the scene's max merged "
+                "deep-scale ROI (452x300, scripts/scan_roi_sizes.py "
+                "--deep); round-4's window==frame was a bench artifact",
     }
+
+
+def bench_ff_tiled(backend, rounds=4):
+    """FlowFormer tiled inference at its TRAIN_SIZE tile (432×960,
+    visualize_flow.py:27-100 semantics) on a 480×1280 frame (2 tiles,
+    gaussian-blended) — the FF throughput story for arbitrary
+    resolutions."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsof_tpu.models.flowformer.model import tiled_flow
+
+    rng = np.random.default_rng(3)
+    H, W = 480, 1280
+    base = rng.random((H + 8, W + 8, 3)).astype(np.float32) * 255
+
+    @jax.jit
+    def apply_tile(a, b):
+        return backend.apply(a, b)
+
+    def one(i):
+        i1 = base[i % 4 : i % 4 + H, : W][None].astype(np.uint8)
+        i2 = base[i % 4 + 1 : i % 4 + 1 + H, 1 : 1 + W][None].astype(
+            np.uint8)
+        return tiled_flow(
+            lambda a, b: apply_tile(jnp.asarray(a), jnp.asarray(b)),
+            i1, i2, patch_size=(432, 960), min_overlap=20)
+
+    t0 = time.perf_counter()
+    one(0)  # compile
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for i in range(rounds):
+        t0 = time.perf_counter()
+        fl = one(i + 1)
+        ts.append(time.perf_counter() - t0)
+    p50 = float(np.median(ts))
+    n_tiles = 2
+    print(f"# flowformer tiled 480x1280 (2x 432x960 tiles): "
+          f"{p50*1e3:.0f} ms/frame ({1/p50:.2f} fps)", flush=True)
+    return {"backend": "flowformer-things_eval", "mode": "tiled",
+            "frame_hw": [H, W], "tile_hw": [432, 960],
+            "n_tiles": n_tiles,
+            "ms_per_frame_p50": p50 * 1e3, "fps": 1.0 / p50,
+            "compile_s": compile_s,
+            "flow_shape": list(np.asarray(fl).shape)}
 
 
 def main():
@@ -276,7 +346,7 @@ def main():
     rows = {"device": str(jax.devices()[0]),
             "peak_flops_bf16": V5E_BF16_PEAK,
             "workload_a": [], "workload_a_batched": [],
-            "workload_b_grasp": []}
+            "workload_b_grasp": [], "workload_c_ff_tiled": []}
 
     # -- workload A: 480×640, ROI window 256×384, memsize 80 → 26 deep --
     H, W = 480, 640
@@ -286,9 +356,9 @@ def main():
     )
     mem, prevs, nxts = make_workload(H, W, cfg.roi.memsize, 6, rng)
 
-    def raft_backend(small):
+    def raft_backend(small, corr_mode="allpairs"):
         mcfg = RaftConfig(small=small, iters=20,
-                          compute_dtype=jnp.bfloat16)
+                          compute_dtype=jnp.bfloat16, corr_mode=corr_mode)
         model = RAFT(mcfg)
         dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
         params = model.init(jax.random.PRNGKey(0), dummy, dummy, iters=1)[
@@ -310,18 +380,25 @@ def main():
     backends = [
         ("raft-small", raft_backend(True)),
         ("raft-basic", raft_backend(False)),
+        ("raft-small-altcorr", raft_backend(True, "alternate")),
         ("flowformer-things_eval", ff_backend()),
     ]
     for name, be in backends:
         rows["workload_a"].append(
             bench_backend(name, be, cfg, mem, prevs, nxts))
-    for name, be in backends[:2]:  # batched RAFT (FF window batch is huge)
+    batched = [("raft-small", backends[0][1], 8),
+               ("raft-basic", backends[1][1], 8),
+               ("flowformer-things_eval", backends[3][1], 4)]
+    for name, be, bsz in batched:
         rows["workload_a_batched"].append(
-            bench_batched_roi(name, be, cfg, mem, prevs, nxts))
+            bench_batched_roi(name, be, cfg, mem, prevs, nxts, batch=bsz))
 
     # -- workload B: real grasp scene ---------------------------------
     for name, be in backends[:2]:
         rows["workload_b_grasp"].append(bench_grasp_scene(name, be))
+
+    # -- workload C: FF tiled inference at TRAIN_SIZE ------------------
+    rows["workload_c_ff_tiled"] = [bench_ff_tiled(backends[3][1])]
 
     out = REPO / "results" / "deep_bench.json"
     out.write_text(json.dumps(rows, indent=1))

@@ -55,6 +55,46 @@ def test_pallas_update_matrices_bit_exact(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_corr_lookup_dense_matches_gather(rng):
+    """The gather-free hat-selector corr_lookup must equal the naive
+    bilinear-gather formulation (grid_sample zero padding) everywhere,
+    including coords off the volume edge (where zero padding kicks in)."""
+    from nsof_tpu.models.raft import (
+        all_pairs_correlation,
+        bilinear_sample,
+        build_corr_pyramid,
+        corr_lookup,
+    )
+
+    b, h, w, c = 2, 8, 10, 16
+    f1 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    # coords deliberately spill past the edges so hats must zero out
+    coords = jnp.asarray(
+        (rng.random((b, h, w, 2)) * [w + 6, h + 6] - 3).astype(np.float32)
+    )
+    r = 3
+    pyramid = build_corr_pyramid(all_pairs_correlation(f1, f2), 3)
+    got = np.asarray(corr_lookup(pyramid, coords, r))
+
+    # naive gather reference (the pre-round-5 implementation)
+    n = 2 * r + 1
+    delta = np.stack(
+        np.meshgrid(np.linspace(-r, r, n), np.linspace(-r, r, n),
+                    indexing="ij"),
+        axis=-1,
+    )
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        centroid = coords.reshape(b * h * w, 1, 1, 2) / (2**lvl)
+        cx = centroid[..., 0] + delta[None, ..., 0]
+        cy = centroid[..., 1] + delta[None, ..., 1]
+        sampled = bilinear_sample(corr, jnp.asarray(cx), jnp.asarray(cy))
+        outs.append(np.asarray(sampled).reshape(b, h, w, n * n))
+    want = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_windowed_correlation_matches_allpairs_lookup(rng):
     """The windowed correlation must agree with sampling the full all-pairs
     volume (the CorrBlock path) at integer-window offsets."""

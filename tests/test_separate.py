@@ -193,6 +193,160 @@ def test_uav_flag1_agreement_and_pixel_accuracy_pin():
     )
 
 
+def _reference_tracking_pair_flag1(mem2, prev_gray, next_gray, cfg):
+    """FLAG=1 merged tracking transliteration (optical_flow_ob.py:321-451):
+    per-component Farnebäck + overwrite scatter, flow negation, union box +
+    PADDING, HSV→gray→close(3×3)→threshold SEG_TH→contours→area≥500→NMS 0.2
+    scored by contour area."""
+    h, w = prev_gray.shape
+    ms = cfg.roi.memsize
+    tp = np.zeros((h // ms, w // ms), np.uint8)
+    tp[mem2 >= cfg.roi.thres] = 255
+    n, _, stats, _ = cv2.connectedComponentsWithStats(tp, connectivity=4)
+    if n == 1:
+        return []
+    flow = np.zeros((h, w, 2), np.float32)
+    regions = []
+    fb = cfg.fb
+    for i in range(1, n):
+        x, y, a, b = (stats[i, k] for k in range(4))
+        x0 = max(x * ms - cfg.roi.extend_left, 0)
+        y0 = max(y * ms - cfg.roi.extend_up, 0)
+        x1 = min((x + a) * ms + cfg.roi.extend_right, w)
+        y1 = min((y + b) * ms + cfg.roi.extend_down, h)
+        regions.append((x0, y0, x1, y1))
+        flow[y0:y1, x0:x1] = cv2.calcOpticalFlowFarneback(
+            prev_gray[y0:y1, x0:x1], next_gray[y0:y1, x0:x1], None,
+            fb.pyr_scale, fb.levels, fb.winsize, fb.iterations,
+            fb.poly_n, fb.poly_sigma, 0,
+        )
+    flow = -flow
+    p = cfg.roi.padding
+    X0 = max(0, min(r[0] for r in regions) - p)
+    Y0 = max(0, min(r[1] for r in regions) - p)
+    X1 = min(w, max(r[2] for r in regions) + p)
+    Y1 = min(h, max(r[3] for r in regions) + p)
+    fr = flow[Y0:Y1, X0:X1]
+    mag, ang = cv2.cartToPolar(
+        fr[..., 0].astype(np.float64), fr[..., 1].astype(np.float64)
+    )
+    hsv = np.zeros((*mag.shape, 3), np.uint8)
+    hsv[..., 1] = 255
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    draw = cv2.cvtColor(cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR),
+                        cv2.COLOR_BGR2GRAY)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    draw = cv2.morphologyEx(draw, cv2.MORPH_CLOSE, k)
+    _, draw = cv2.threshold(draw, cfg.head.seg_th, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(draw.copy(), cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    boxes = []
+    for c in contours:
+        area = cv2.contourArea(c)
+        if area < 500:
+            continue
+        x, y, bw, bh = cv2.boundingRect(c)
+        boxes.append([x + X0, y + Y0, x + bw + X0, y + bh + Y0, area])
+    boxes = np.array(boxes)
+    if boxes.ndim != 2 or boxes.shape[0] == 0:
+        return []
+    boxes = boxes[boxes[:, 4].argsort()[::-1]]
+    # py_cpu_nms (optical_flow_ob.py:96-135)
+    x1, y1, x2, y2, scores = boxes.T
+    areas = (y2 - y1 + 1) * (x2 - x1 + 1)
+    index = scores.argsort()[::-1]
+    keep = []
+    while index.size > 0:
+        i = index[0]
+        keep.append(i)
+        x11 = np.maximum(x1[i], x1[index[1:]])
+        y11 = np.maximum(y1[i], y1[index[1:]])
+        x22 = np.minimum(x2[i], x2[index[1:]])
+        y22 = np.minimum(y2[i], y2[index[1:]])
+        ov = np.maximum(0, x22 - x11 + 1) * np.maximum(0, y22 - y11 + 1)
+        ious = ov / (areas[i] + areas[index[1:]] - ov)
+        index = index[np.where(ious <= 0.2)[0] + 1]
+    return [boxes[i, :4] for i in keep]
+
+
+def _reference_avg_iou(pred_boxes, gt_mask_u8):
+    """Mean IoU of predicted boxes vs the largest GT-mask bbox
+    (optical_flow_ob.py:570-609 + get_max_bbox_from_mask :137-180)."""
+    _, binary = cv2.threshold(gt_mask_u8, 127, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(binary, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    best, best_area = None, 0
+    for c in contours:
+        x, y, w, h = cv2.boundingRect(c)
+        if w * h > best_area:
+            best_area = w * h
+            best = (x, y, x + w, y + h)
+    if best is None or not pred_boxes:
+        return 0.0
+    gx1, gy1, gx2, gy2 = best
+    total = 0.0
+    for x1, y1, x2, y2 in pred_boxes:
+        ix1, iy1 = max(x1, gx1), max(y1, gy1)
+        ix2, iy2 = min(x2, gx2), min(y2, gy2)
+        inter = max(0, ix2 - ix1 + 1) * max(0, iy2 - iy1 + 1)
+        union = ((x2 - x1 + 1) * (y2 - y1 + 1)
+                 + (gx2 - gx1 + 1) * (gy2 - gy1 + 1) - inter)
+        total += inter / union
+    return total / len(pred_boxes)
+
+
+@pytest.mark.slow
+def test_uavnew2_tracking_iou_pin():
+    """Pins the r4 open item (VERDICT r4 next-8): uavnew2 tracking mIoU
+    0.214 is in the reference's own regime, not an implementation
+    artifact.  Runs the cv2/numpy transliteration of the reference FLAG=1
+    merged tracking head (optical_flow_ob.py:321-451) over all uavnew2
+    pairs.  Measured once and pinned here: ours 0.214, transliteration
+    0.156.  Per-pair box sets agree on the large boxes; the delta is the
+    area-scoring divergence documented in pipelines/tracking.py — the
+    reference filters/scores by ``cv2.contourArea`` (outer-contour area,
+    smaller by ~half the perimeter) while we use component pixel count,
+    so boxes near the 500-px cutoff appear in one set and not the other,
+    and the per-frame mean-IoU metric (divides by the number of predicted
+    boxes) swings in both directions (pair 2: ref 0.109 vs ours 0.131;
+    pair 1: ref 0.319 vs ours 0.213).  Both paths sit in the same
+    low-IoU regime for the same reason as autodriving (RESULTS.md:20):
+    the max-GT-bbox rarely corresponds to a single moving-object box."""
+    from nsof_tpu.data.scenes import load_scene
+    from nsof_tpu.pipelines import tracking as trk
+    from nsof_tpu.pipelines.separate import tracking_step_separate
+
+    scene = load_scene(REFERENCE_DATA, "uavnew2")
+    if scene.gt_masks is None:
+        pytest.skip("uavnew2 gtmask not available")
+    cfg = scene.cfg
+    assert cfg.roi.mode == 1
+
+    import jax
+
+    jiou = jax.jit(trk.mean_iou_vs_gt)
+    jmax = jax.jit(trk.max_bbox_from_mask)
+
+    ious_ref, ious_ours = [], []
+    for i in range(scene.num_pairs):
+        mem2, prev, nxt = scene.pair_inputs(i)
+        gt = (scene.gt_masks[i + 1] > 0).astype(np.uint8) * 255
+
+        ref_boxes = _reference_tracking_pair_flag1(mem2, prev, nxt, cfg)
+        ious_ref.append(_reference_avg_iou(ref_boxes, gt))
+
+        out = tracking_step_separate(mem2, prev, nxt, cfg)
+        gt_box, gt_valid = jmax((gt > 0))
+        iou = float(jiou(out["boxes"], out["valid"], gt_box))
+        ious_ours.append(iou if bool(gt_valid) else 0.0)
+
+    m_ref = float(np.mean(ious_ref))
+    m_ours = float(np.mean(ious_ours))
+    assert abs(m_ours - 0.214) < 0.02, m_ours
+    assert abs(m_ref - 0.156) < 0.02, m_ref
+
+
 @pytest.mark.slow
 def test_tracking_prediction_separate_run(tt_scene, tt_cfg_sep):
     from nsof_tpu.pipelines.separate import (
