@@ -1,0 +1,137 @@
+"""Batched deep-window throughput sweep: find the serving knee.
+
+Per-frame *sync* deep latency is tunnel-RTT-bound (~29 ms floor; see
+results/deep_stage_profile.json), so throughput — not latency — is the
+honest measure of the deep path's chip utilisation.  This sweeps the
+vmapped-window batch size for RAFT ROI inference (the serving shape:
+many concurrent 256×384 windows through one program, the
+`serve/engine.py` pattern) and reports fps + MFU per batch size.
+
+Reference analogue: the reference runs its deep backends one window per
+forward (raft_seg.py:91-98, batch dimension unused); a TPU serves
+windows in batch.  Writes results/deep_batch_sweep.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+V5E_BF16_PEAK = 197e12
+
+
+def _flops_of(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0)) if ca else 0.0
+
+
+def main():
+    import jax.numpy as jnp
+
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.models.raft import RAFT, RaftConfig
+    from nsof_tpu.pipelines.deep_flow import DeepBackend, deep_roi_flow_step
+
+    H, W = 480, 640
+    cfg = dataclasses.replace(
+        DATASETS["grasp"], name="deepsweep", image_h=H, image_w=W,
+        window_h=256, window_w=384,
+    )
+    rng = np.random.default_rng(0)
+    base = rng.random((H + 64, W + 64, 3)).astype(np.float32) * 255
+    ms_deep = max(cfg.roi.memsize // 3, 1)
+    mem = np.zeros((H // ms_deep, W // ms_deep), np.uint8)
+    mem[3:6, 4:7] = 255
+    mem = jnp.asarray(mem)
+
+    results = {"device": str(jax.devices()[0]),
+               "window_hw": [256, 384], "frame_hw": [H, W],
+               "model": "raft-small iters=20 bf16", "rows": []}
+
+    mcfg = RaftConfig(small=True, iters=20, compute_dtype=jnp.bfloat16)
+    model = RAFT(mcfg)
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy, iters=1)[
+        "params"]
+    backend = DeepBackend.from_raft(model, params, iters=20)
+
+    def one(m, p, n):
+        return deep_roi_flow_step(m, p, n, cfg, backend)["mask"]
+
+    for B in (8, 32, 64):
+        @jax.jit
+        def step(m, p, n, salt):
+            p = p.at[:, 0, 0, :].set(salt[:, None])
+            masks = jax.vmap(one, in_axes=(None, 0, 0))(m, p, n)
+            return masks.astype(jnp.int32).sum()
+
+        def make(i):
+            ps = np.stack([
+                base[16 + (i + j) % 6: 16 + (i + j) % 6 + H, 16: 16 + W]
+                for j in range(B)]).astype(np.uint8)
+            ns = np.stack([
+                base[18 + (i + j) % 6: 18 + (i + j) % 6 + H, 15: 15 + W]
+                for j in range(B)]).astype(np.uint8)
+            return jnp.asarray(ps), jnp.asarray(ns)
+
+        salt_ctr = iter(range(1, 100_000))
+
+        def salts():
+            return jnp.asarray(
+                [next(salt_ctr) % 251 for _ in range(B)], jnp.uint8)
+
+        pb, nb = make(0)
+        t0 = time.perf_counter()
+        compiled = step.lower(mem, pb, nb, salts()).compile()
+        compile_s = time.perf_counter() - t0
+        flops = _flops_of(compiled)
+        float(step(mem, pb, nb, salts()))  # warm the jit cache
+        batches = [make(i) for i in range(3)]
+        rounds = 8
+        # pipelined: enqueue all, fetch at the end (serving pattern)
+        t0 = time.perf_counter()
+        outs = [step(mem, *batches[i % 3], salts()) for i in range(rounds)]
+        for o in outs:
+            float(o)
+        dt = time.perf_counter() - t0
+        fps = rounds * B / dt
+        mfu = flops * rounds / dt / V5E_BF16_PEAK
+        row = {"batch": B, "fps_pipelined": fps,
+               "ms_per_frame": dt / rounds / B * 1e3,
+               "ms_per_batch": dt / rounds * 1e3,
+               "gflops_per_batch": flops / 1e9,
+               "mfu": mfu, "compile_s": compile_s}
+        results["rows"].append(row)
+        print(f"# B={B}: {fps:.1f} fps, {mfu*100:.2f}% MFU, "
+              f"{dt/rounds*1e3:.1f} ms/batch", flush=True)
+
+    out = REPO / "results" / "deep_batch_sweep.json"
+    out.write_text(json.dumps(results, indent=1))
+    best = max(results["rows"], key=lambda r: r["fps_pipelined"])
+    print(json.dumps({
+        "metric": "deep_roi_raft_small_batched_fps",
+        "value": round(best["fps_pipelined"], 1),
+        "unit": "frames/s",
+        "batch": best["batch"],
+        "mfu": round(best["mfu"], 4),
+        "written": str(out),
+    }))
+
+
+if __name__ == "__main__":
+    main()
