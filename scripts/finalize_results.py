@@ -17,6 +17,46 @@ def _load(name):
     return json.loads(p.read_text()) if p.exists() else None
 
 
+def event_sim_section():
+    rows = _load("event_sim_bench.json")
+    if not rows:
+        return []
+    by = {(r["path"], r["impl"].split("[")[0]): r for r in rows}
+    v1t, v1n = by[("v1_magnitude", "jax_scan")], by[("v1_magnitude", "numpy_loop")]
+    v2t, v2n = by[("v2_split", "jax_scan")], by[("v2_split", "numpy_loop")]
+    grid = v1t["grid"].replace("x", "×")
+
+    def row(label, t, n):
+        return (f"| {label} | {t['wall_s']:.3f} s"
+                f" ({t['cell_updates_per_s'] / 1e9:.1f} G cell-upd/s) |"
+                f" {n['wall_s']:.1f} s | **{n['wall_s'] / t['wall_s']:.0f}×** |")
+
+    return [
+        "",
+        "## Event-simulation throughput (scripts/bench_event_sim.py)",
+        "",
+        "The event-driven device simulator as one jitted `lax.scan` program"
+        " on the chip vs the reference's design (a Python loop over time"
+        " slices with vectorized numpy updates,"
+        " eventsim/event_mem_sim.py:164-328), on a"
+        f" {grid} grid, 1 s of stream at the default 1000 fps state rate"
+        f" ({v1t['slices']} slices; timed calls jitter the initial state so"
+        " the device tunnel cannot serve cached executions).  Persisted in"
+        " results/event_sim_bench.json.",
+        "",
+        "| path | TPU scan | numpy loop (host) | speedup |",
+        "|---|---|---|---|",
+        row("V1 boxcar", v1t, v1n),
+        row("V2 split + refractory", v2t, v2n),
+        "",
+        f"One second of stream simulates in ~{v2t['wall_s'] * 1e3:.0f} ms —"
+        f" ~{1.0 / v2t['wall_s']:.0f}× realtime — and the wall is mostly the"
+        " fixed ~30 ms tunnel dispatch, so longer recordings amortize"
+        " further (the chunked `simulate_events_stream` driver keeps memory"
+        " bounded).",
+    ]
+
+
 def deep_bench_section():
     d = _load("deep_bench.json")
     if d is None:
@@ -248,6 +288,19 @@ def main(out_md="RESULTS.md"):
         " reference FLAG=1 pipeline scores PA 91.72 on the same pairs —"
         " the 4×4 device grid misses motion at GT boundaries, and several of the"
         " losing pairs have a 0 % active region (zero-mask early exit).",
+        "- **uavnew2** shows ROI ≡ full on every metric (and seg_roi_ms ≈"
+        " seg_full_ms) because the scene saturates its device map: with the"
+        " shipped preset (thres=114, Parameters.txt), **all 225 cells of the"
+        " 15×15 grid are ≥ threshold on every one of the 46 state slices**,"
+        " so the merged FLAG=1 union box is the whole 600×600 frame and"
+        " Region_Percent is 100.00 on all pairs (results/uavnew2/seg.csv)."
+        " The gated path then crops a window equal to the frame — identical"
+        " flow, identical mask, identical cost. This is reference-inherent,"
+        " not an implementation artifact: optical_flow_seg.py:492-545"
+        " computes the same whole-frame crop when the transition map is"
+        " fully active; the scene simply provides no gating benefit at its"
+        " shipped threshold. Pinned by the 100% region percentages in the"
+        " per-pair CSV.",
         "- **tabletennis/grasp** ROI ≥ full on all three tasks; tracking"
         " mIoU: tabletennis ROI 0.29 vs full 0.16, grasp ROI 0.34 vs full"
         " 0.00 (full-frame flow over the mostly-static 1080×1920 scene"
@@ -333,6 +386,7 @@ def main(out_md="RESULTS.md"):
                 f" {rr['mask_agreement_min']:.4f} | {rr['epe_p50']:.3f} |"
                 f" {rr['epe_p95']:.3f} | {pa_d} | {pairs} |"
             )
+    lines += event_sim_section()
     lines += deep_bench_section()
     lines += stream_section()
     lines += serve_section()
