@@ -95,7 +95,7 @@ def main():
 
     # -- chunked streaming (bounded memory, state carried) ------------
     def chunked_call(frames_np):
-        out = stream_masks_chunked(frames_np, cfg, sim, chunk=32)
+        out = stream_masks_chunked(frames_np, cfg, sim, chunk_pairs=32)
         return float(np.asarray(out["masks"]).astype(np.int64).sum())
 
     chunked_call(make_stream(H, W, T, rng, 3))  # compile
