@@ -125,6 +125,31 @@ def deep_bench_section():
     return lines
 
 
+def batch_sweep_section():
+    d = _load("deep_batch_sweep.json")
+    if d is None:
+        return []
+    lines = [
+        "",
+        "## Deep-window batch sweep"
+        " (scripts/bench_deep_batch_sweep.py)",
+        "",
+        f"{d['model']}, {d['window_hw'][0]}×{d['window_hw'][1]} windows"
+        " through the full ROI-gated step (gate + crop + model +"
+        " scatter), pipelined dispatch — where the serving knee sits:",
+        "",
+        "| batch | fps | ms/batch | MFU | compile s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in d.get("rows", []):
+        lines.append(
+            f"| {r['batch']} | {r['fps_pipelined']:.1f} |"
+            f" {r['ms_per_batch']:.1f} | {r['mfu']*100:.2f}% |"
+            f" {r['compile_s']:.0f} |"
+        )
+    return lines
+
+
 def stream_section():
     d = _load("stream_bench.json")
     if d is None:
@@ -388,6 +413,7 @@ def main(out_md="RESULTS.md"):
             )
     lines += event_sim_section()
     lines += deep_bench_section()
+    lines += batch_sweep_section()
     lines += stream_section()
     lines += serve_section()
     lines += train_shape_section()
