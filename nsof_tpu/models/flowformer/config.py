@@ -44,6 +44,10 @@ class FlowFormerConfig:
     fnet: str = "twins"
     dropout: float = 0.0
     compute_dtype: Any = jnp.float32
+    # Rematerialise the decoder-scan body in the backward pass (same
+    # memory/FLOPs trade as RaftConfig.remat — at depth 32 the stored
+    # per-iteration activations dominate training HBM).
+    remat: bool = False
     # training (trainer block, things_eval.py:55-65)
     gamma: float = 0.8
     max_flow: float = 400.0

@@ -230,8 +230,9 @@ class MemoryDecoder(nn.Module):
             return (net, coords1, flow_up), (None if test_mode else flow_up)
 
         flow0 = jnp.zeros((b, h1 * 8, w1 * 8, 2), jnp.float32)
+        body = nn.remat(step, prevent_cse=False) if c.remat else step
         (net, coords1, flow_up), stacked = nn.scan(
-            step,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=c.decoder_depth,

@@ -45,6 +45,15 @@ class RaftConfig:
     # all-pairs volume would not fit in HBM.
     corr_mode: str = "allpairs"
 
+    # Rematerialise the refinement-scan body in the backward pass
+    # (jax.checkpoint / nn.remat): activations of the update block are
+    # recomputed instead of stored per iteration, trading ~1 extra forward
+    # of the scan body for an O(iters) cut in training HBM.  Without it
+    # the reference train shape (368×496, batch 6, iters 12) overflows a
+    # 16 GB v5e by ~0.9 GB; with it the step fits with room to spare.
+    # No effect on inference.
+    remat: bool = False
+
     # Basic cnet normalisation: 'batch' (GroupNorm stand-in, trainable) or
     # 'frozenbatch' (per-channel affine — exactly BatchNorm.eval() with its
     # running stats folded in; use when loading reference torch checkpoints
@@ -664,8 +673,9 @@ class RAFT(nn.Module):
             return carry, (None if test_mode else flow_up)
 
         flow0 = jnp.zeros((b, h8 * 8, w8 * 8, 2), jnp.float32)
+        body = nn.remat(step, prevent_cse=False) if cfg.remat else step
         (net, coords1, flow_up), stacked = nn.scan(
-            step,
+            body,
             variable_broadcast="params",
             split_rngs={"params": False},
             length=iters,

@@ -234,6 +234,79 @@ def crop_windows_batch(
     return wins, oys, oxs
 
 
+def _window_onehots(
+    oys: Array, oxs: Array, win_h: int, win_w: int,
+    image_h: int, image_w: int,
+):
+    """Per-sample one-hot window selectors: Py [B, win_h, H] with
+    ``Py[b, i, oys[b]+i] = 1`` and Px [B, win_w, W] likewise.
+
+    Row/col selection as 0/1 matrices turns batched window crop/scatter
+    into MXU matmuls — the gather/scatter-free formulation (vmapped
+    ``dynamic_slice``/``dynamic_update_slice`` with per-sample offsets
+    lower to per-element gathers/scatters on TPU; same trick as the
+    hat-selector corr lookup in models/raft.py::corr_lookup)."""
+    iy = jnp.arange(win_h, dtype=jnp.int32)
+    ix = jnp.arange(win_w, dtype=jnp.int32)
+    py = (
+        oys[:, None, None] + iy[None, :, None]
+        == jnp.arange(image_h, dtype=jnp.int32)[None, None, :]
+    )
+    px = (
+        oxs[:, None, None] + ix[None, :, None]
+        == jnp.arange(image_w, dtype=jnp.int32)[None, None, :]
+    )
+    return py.astype(jnp.float32), px.astype(jnp.float32)
+
+
+def onehot_crop_batch(
+    frames: Array, oys: Array, oxs: Array, win_h: int, win_w: int
+) -> Array:
+    """Batched static-size window crop via one-hot matmuls: [B, H, W(, C)]
+    frames + per-sample origins → [B, win_h, win_w(, C)].
+
+    Exact (HIGHEST-precision einsums against 0/1 selectors: every output
+    element is one input element times 1.0).  Windows must lie fully
+    in-image (``window_origin`` clamps them).  Works for any dtype/channel
+    count — the general-dtype companion to the uint8 Pallas
+    :func:`crop_windows_batch`."""
+    squeeze = frames.ndim == 3
+    if squeeze:
+        frames = frames[..., None]
+    py, px = _window_onehots(
+        oys, oxs, win_h, win_w, frames.shape[1], frames.shape[2]
+    )
+    x = frames.astype(jnp.float32)
+    x = jnp.einsum("bih,bhwc->biwc", py, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bjw,biwc->bijc", px, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = x.astype(frames.dtype)
+    return x[..., 0] if squeeze else x
+
+
+def onehot_scatter_batch(
+    wins: Array, oys: Array, oxs: Array, image_h: int, image_w: int
+) -> Array:
+    """Scatter [B, win_h, win_w(, C)] windows into zero [B, H, W(, C)]
+    frames via transposed one-hot matmuls — the gather/scatter-free
+    equivalent of per-sample :func:`scatter_window` into zeros when the
+    window is pre-masked to its box (the deep pipelines' shape,
+    raft_seg.py:159/204 scatter semantics)."""
+    squeeze = wins.ndim == 3
+    if squeeze:
+        wins = wins[..., None]
+    win_h, win_w = wins.shape[1:3]
+    py, px = _window_onehots(oys, oxs, win_h, win_w, image_h, image_w)
+    x = wins.astype(jnp.float32)
+    x = jnp.einsum("bih,bijc->bhjc", py, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bjw,bhjc->bhwc", px, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = x.astype(wins.dtype)
+    return x[..., 0] if squeeze else x
+
+
 def window_box_mask(box: Array, origin_yx, win_h: int, win_w: int) -> Array:
     """Boolean [win_h, win_w] mask of window pixels inside ``box``."""
     oy, ox = origin_yx

@@ -207,6 +207,77 @@ def deep_roi_prediction_step(
     }
 
 
+def deep_roi_flow_batch(
+    mem_u8: Array,
+    prev_rgb: Array,
+    next_rgb: Array,
+    cfg: PipelineConfig,
+    backend: DeepBackend,
+) -> dict[str, Array]:
+    """Batched ROI-gated deep SEG step: [B, gh, gw] device maps +
+    [B, H, W, 3] frame pairs → batched masks/flows.  Semantically
+    ``vmap(deep_roi_flow_step)`` but restructured for TPU serving:
+
+    * the gate (threshold → CC → merged box) is vmapped — it runs on the
+      tiny device grid, so the batched scan cost is negligible;
+    * window crop / scatter use the one-hot matmul forms
+      (:func:`nsof_tpu.ops.roi.onehot_crop_batch` /
+      :func:`onehot_scatter_batch`) — vmapped ``dynamic_slice`` /
+      ``dynamic_update_slice`` with per-sample offsets lower to
+      per-element gathers/scatters on TPU (measured ~29 ms/frame at any
+      batch, scripts/bench_deep_batch_sweep.py);
+    * the backend runs ONCE on a true [B, wh, ww, 3] batch (no vmap
+      around the model);
+    * the seg head runs bit-packed batch-major
+      (:func:`seg_head_window_batch`).
+
+    Reference shape analogue: raft_seg.py:91-98 runs one window per
+    forward; this is the many-concurrent-windows serving form.
+    """
+    from nsof_tpu.pipelines.segmentation import seg_head_window_batch
+
+    h, w = prev_rgb.shape[1:3]
+    roi_cfg = dataclasses.replace(
+        cfg.roi, memsize=max(cfg.roi.memsize // 3, 1)
+    )
+    r = jax.vmap(lambda m: roi_ops.roi_boxes(m, h, w, roi_cfg))(mem_u8)
+    box = r["merged"]  # [B, 4]
+    wide = (box[:, 2] - box[:, 0]) >= MIN_REGION_PX
+    tall = (box[:, 3] - box[:, 1]) >= MIN_REGION_PX
+    active = r["any_active"] & wide & tall
+
+    wh = cfg.window_h or h
+    ww = cfg.window_w or w
+    oys, oxs = jax.vmap(
+        lambda b: roi_ops.window_origin(b, wh, ww, h, w)
+    )(box)
+    p_win = roi_ops.onehot_crop_batch(prev_rgb, oys, oxs, wh, ww)
+    n_win = roi_ops.onehot_crop_batch(next_rgb, oys, oxs, wh, ww)
+
+    p_pad, pads = _pad8(p_win)
+    n_pad, _ = _pad8(n_win)
+    flow_pad = backend.apply(p_pad, n_pad)
+    t, l = pads[1][0], pads[2][0]
+    flow_win = flow_pad[:, t : t + wh, l : l + ww]
+
+    inbox = jax.vmap(
+        lambda b, oy, ox: roi_ops.window_box_mask(b, (oy, ox), wh, ww)
+    )(box, oys, oxs) & active[:, None, None]
+    flow_win = jnp.where(inbox[..., None], flow_win, 0.0)
+    mask_win = seg_head_window_batch(flow_win, inbox, cfg)
+    flow = roi_ops.onehot_scatter_batch(flow_win, oys, oxs, h, w)
+    mask = roi_ops.onehot_scatter_batch(mask_win, oys, oxs, h, w)
+    return {
+        "flow": flow,
+        "mask": mask,
+        "box": box,
+        "any_active": active,
+        "region_pct": jax.vmap(
+            lambda b: roi_ops.region_percentage(b, h, w)
+        )(box),
+    }
+
+
 def deep_full_flow_step(
     prev_rgb: Array, next_rgb: Array, cfg: PipelineConfig,
     backend: DeepBackend,

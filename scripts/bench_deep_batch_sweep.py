@@ -45,7 +45,11 @@ def main():
 
     from nsof_tpu.config import DATASETS
     from nsof_tpu.models.raft import RAFT, RaftConfig
-    from nsof_tpu.pipelines.deep_flow import DeepBackend, deep_roi_flow_step
+    from nsof_tpu.pipelines.deep_flow import (
+        DeepBackend,
+        deep_roi_flow_batch,
+        deep_roi_flow_step,
+    )
 
     H, W = 480, 640
     cfg = dataclasses.replace(
@@ -70,15 +74,52 @@ def main():
         "params"]
     backend = DeepBackend.from_raft(model, params, iters=20)
 
+    # alternate-corr variant: windowed on-the-fly correlation, never
+    # materialises the [B,N,h,w] all-pairs volume (HBM traffic)
+    mcfg_alt = dataclasses.replace(mcfg, corr_mode="alternate")
+    model_alt = RAFT(mcfg_alt)
+    backend_alt = DeepBackend.from_raft(model_alt, params, iters=20)
+
     def one(m, p, n):
         return deep_roi_flow_step(m, p, n, cfg, backend)["mask"]
 
-    for B in (8, 32, 64):
-        @jax.jit
-        def step(m, p, n, salt):
-            p = p.at[:, 0, 0, :].set(salt[:, None])
-            masks = jax.vmap(one, in_axes=(None, 0, 0))(m, p, n)
-            return masks.astype(jnp.int32).sum()
+    def make_step(impl, B):
+        if impl == "vmap_step":
+            @jax.jit
+            def step(m, p, n, salt):
+                p = p.at[:, 0, 0, :].set(salt[:, None])
+                masks = jax.vmap(one, in_axes=(None, 0, 0))(m, p, n)
+                return masks.astype(jnp.int32).sum()
+            return step
+        if impl in ("structured", "structured_altcorr"):
+            be = backend_alt if impl.endswith("altcorr") else backend
+            memsB = jnp.broadcast_to(mem, (B,) + mem.shape)
+
+            @jax.jit
+            def step(m, p, n, salt):
+                p = p.at[:, 0, 0, :].set(salt[:, None])
+                out = deep_roi_flow_batch(memsB, p, n, cfg, be)
+                return out["mask"].astype(jnp.int32).sum()
+            return step
+        if impl == "model_only":
+            # bound: the backend alone on pre-cropped windows
+            @jax.jit
+            def step(m, p, n, salt):
+                p = p.at[:, 0, 0, :].set(salt[:, None])
+                flow = backend.apply(p[:, :256, :384], n[:, :256, :384])
+                return flow.sum()
+            return step
+        raise ValueError(impl)
+
+    sweeps = [
+        ("vmap_step", (8, 32, 64)),
+        ("structured", (8, 32, 64)),
+        ("structured_altcorr", (32,)),
+        ("model_only", (32,)),
+    ]
+    for impl, batches in sweeps:
+      for B in batches:
+        step = make_step(impl, B)
 
         def make(i):
             ps = np.stack([
@@ -111,22 +152,26 @@ def main():
         dt = time.perf_counter() - t0
         fps = rounds * B / dt
         mfu = flops * rounds / dt / V5E_BF16_PEAK
-        row = {"batch": B, "fps_pipelined": fps,
+        row = {"impl": impl, "batch": B, "fps_pipelined": fps,
                "ms_per_frame": dt / rounds / B * 1e3,
                "ms_per_batch": dt / rounds * 1e3,
                "gflops_per_batch": flops / 1e9,
                "mfu": mfu, "compile_s": compile_s}
         results["rows"].append(row)
-        print(f"# B={B}: {fps:.1f} fps, {mfu*100:.2f}% MFU, "
+        print(f"# {impl} B={B}: {fps:.1f} fps, {mfu*100:.2f}% MFU, "
               f"{dt/rounds*1e3:.1f} ms/batch", flush=True)
 
     out = REPO / "results" / "deep_batch_sweep.json"
     out.write_text(json.dumps(results, indent=1))
-    best = max(results["rows"], key=lambda r: r["fps_pipelined"])
+    best = max(
+        (r for r in results["rows"] if r["impl"] != "model_only"),
+        key=lambda r: r["fps_pipelined"],
+    )
     print(json.dumps({
         "metric": "deep_roi_raft_small_batched_fps",
         "value": round(best["fps_pipelined"], 1),
         "unit": "frames/s",
+        "impl": best["impl"],
         "batch": best["batch"],
         "mfu": round(best["mfu"], 4),
         "written": str(out),

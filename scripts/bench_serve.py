@@ -15,6 +15,12 @@ Every submitted frame carries a unique salt pixel (the device tunnel
 caches identical executions).  The max_wait_ms knob is swept to expose
 the latency/throughput trade-off.
 
+Because every request ships real frames host→device, the achievable
+rate over the benchmark's network tunnel is TRANSFER-bound (~20 MB/s
+link vs GB/s PCIe on a real host); ``measure_transfer_bound`` records
+that raw link bound alongside so the engine's own overhead is separable
+from the link.
+
 Writes results/serve_bench.json and prints one summary JSON line.
 """
 
@@ -53,7 +59,11 @@ def build_engine(max_wait_ms: float):
     )
     eng = BatchingEngine(
         cfg, max_batch=128, max_wait_ms=max_wait_ms,
-        buckets=(8, 32, 128),  # 3 compiles instead of 9
+        # Fine-grained ladder: every padded lane ships real bytes over
+        # the link (the engine stacks host-side), so coarse buckets
+        # multiply the transfer per useful request — at mean_batch ~2
+        # a (8,32,128) ladder wastes 4-6× of a 40 MB/s link.
+        buckets=(2, 4, 8, 16, 32, 64, 128),
     )
     return eng, cfg
 
@@ -121,18 +131,66 @@ def run_load_point(eng, cfg, rate_rps: float, duration_s: float,
     }
 
 
+def measure_transfer_bound(cfg, b: int = 32) -> dict:
+    """Raw tunnel round-trip for one engine dispatch payload: host→device
+    of (mems, prevs, nxts) + a trivial reduction + host fetch of a
+    [b, H, W] mask-shaped output.  The achievable request rate of ANY
+    engine over this link is bounded by b / t — this row attributes the
+    serve numbers to the link, not the engine (on a real host the same
+    payload rides PCIe at GB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = cfg.image_h, cfg.image_w
+    ms = cfg.roi.memsize
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def trivial(m, p, n):
+        return (p ^ n) | m[:, :1, :1]  # [b, H, W] u8 out, no real compute
+
+    mems = np.zeros((b, H // ms, W // ms), np.uint8)
+    p0 = (rng.random((b, H, W)) * 255).astype(np.uint8)
+    n0 = (rng.random((b, H, W)) * 255).astype(np.uint8)
+    np.asarray(trivial(mems, p0, n0))  # compile
+    ts = []
+    for i in range(5):
+        p0[:, 0, 0] = i + 1  # unique payload per round (tunnel caches)
+        t0 = time.perf_counter()
+        np.asarray(trivial(mems, p0, n0))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    up_mb = (mems.nbytes + p0.nbytes + n0.nbytes) / 2**20
+    down_mb = p0.nbytes / 2**20
+    return {
+        "batch": b,
+        "roundtrip_s": t,
+        "payload_up_mb": up_mb,
+        "payload_down_mb": down_mb,
+        "link_mb_per_s": (up_mb + down_mb) / t,
+        "rps_bound": b / t,
+    }
+
+
 def main():
     import jax
 
     rows = {"device": str(jax.devices()[0]), "sweeps": []}
     salt_ctr = iter(range(1, 10_000_000))
+    eng0, cfg0 = build_engine(2.0)
+    eng0.shutdown(wait=False)
+    rows["transfer_bound"] = measure_transfer_bound(cfg0)
+    print(f"# transfer bound: {rows['transfer_bound']['rps_bound']:.0f}"
+          f" rps at B={rows['transfer_bound']['batch']}"
+          f" ({rows['transfer_bound']['link_mb_per_s']:.0f} MB/s link)",
+          flush=True)
     for max_wait_ms in (2.0, 8.0):
         eng, cfg = build_engine(max_wait_ms)
         t0 = time.perf_counter()
         eng.warmup()
         warm_s = time.perf_counter() - t0
         points = []
-        for rate in (250, 500, 1000, 2000, 4000):
+        for rate in (5, 10, 15, 20, 30, 60):
             eng.stats.__init__()  # fresh stats per point
             pt = run_load_point(eng, cfg, rate, 8.0, salt_ctr)
             pt["engine"] = eng.stats.as_dict()

@@ -138,12 +138,13 @@ def batch_sweep_section():
         " through the full ROI-gated step (gate + crop + model +"
         " scatter), pipelined dispatch — where the serving knee sits:",
         "",
-        "| batch | fps | ms/batch | MFU | compile s |",
-        "|---|---|---|---|---|",
+        "| impl | batch | fps | ms/batch | MFU | compile s |",
+        "|---|---|---|---|---|---|",
     ]
     for r in d.get("rows", []):
         lines.append(
-            f"| {r['batch']} | {r['fps_pipelined']:.1f} |"
+            f"| {r.get('impl', 'vmap_step')} | {r['batch']} |"
+            f" {r['fps_pipelined']:.1f} |"
             f" {r['ms_per_batch']:.1f} | {r['mfu']*100:.2f}% |"
             f" {r['compile_s']:.0f} |"
         )
@@ -209,6 +210,16 @@ def serve_section():
         lines += ["", f"Engine warm start (persistent XLA compile cache):"
                       f" {min(warm):.1f} s (PERF.md §serving has the"
                       " cold-start analysis)."]
+    tb = d.get("transfer_bound")
+    if tb:
+        lines += [
+            "",
+            f"Raw tunnel transfer bound (same payload, no compute):"
+            f" **{tb['rps_bound']:.0f} rps** at"
+            f" {tb['link_mb_per_s']:.0f} MB/s link — the engine saturates"
+            " the benchmark link, not the chip; on a real host the same"
+            " payload rides PCIe (PERF.md §serving).",
+        ]
     return lines
 
 
@@ -225,18 +236,22 @@ def train_shape_section():
         " that shape on one v5e, with a mid-run orbax save→restore"
         " bit-equality check.",
         "",
-        "| config | batch | crop | ms/step | frames/s | MFU | peak HBM |"
+        "| config | batch | crop | ms/step (host-fed) | ms/step"
+        " (device-resident) | MFU (dev-res) | peak HBM |"
         " resume bit-equal |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in d.get("runs", []):
         hbm = r.get("hbm") or {}
         peak = hbm.get("peak_bytes_in_use")
+        dev = r.get("step_ms_device_resident_p50")
+        mfu_d = r.get("mfu_device_resident") or r.get("mfu")
         lines.append(
             f"| {r['config']} | {r['batch']} |"
             f" {r['crop_hw'][0]}×{r['crop_hw'][1]} |"
-            f" {r['step_ms_p50']:.0f} | {r['frames_per_s']:.1f} |"
-            + (f" {r['mfu']*100:.1f}% |" if r.get("mfu") else " — |")
+            f" {r['step_ms_p50']:.0f} |"
+            + (f" {dev:.0f} |" if dev else " — |")
+            + (f" {mfu_d*100:.1f}% |" if mfu_d else " — |")
             + (f" {peak/2**30:.1f} GiB |" if peak else " — |")
             + f" {r['orbax_resume_bit_equal']} |"
         )

@@ -67,6 +67,61 @@ def test_deep_roi_step_on_scene(raft_backend):
         np.testing.assert_allclose(fl, 0)
 
 
+def test_deep_roi_flow_batch_matches_per_frame(raft_backend):
+    """The structured serving batch (one-hot crop/scatter + one true-batch
+    model call) is semantically vmap(deep_roi_flow_step)."""
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.ops.roi import RoiConfig
+    from nsof_tpu.pipelines.deep_flow import deep_roi_flow_batch
+
+    H, W = 96, 128
+    cfg = dataclasses.replace(
+        DATASETS["grasp"], name="batcheq", image_h=H, image_w=W,
+        window_h=72, window_w=96,
+        roi=RoiConfig(memsize=24, thres=100, mode=2, k_max=8),
+    )
+    # memsize//3 = 8 → device grid 12×16; three gating situations:
+    # big box, different big box, inactive
+    mems = np.zeros((3, H // 8, W // 8), np.uint8)
+    mems[0, 1:10, 2:13] = 255   # 72×88 px box (active)
+    mems[1, 2:11, 4:15] = 255   # different origin (active)
+    # mems[2] stays zero (inactive)
+    rng = np.random.default_rng(3)
+    prev = jnp.asarray(rng.integers(0, 255, (3, H, W, 3)), jnp.uint8)
+    nxt = jnp.asarray(rng.integers(0, 255, (3, H, W, 3)), jnp.uint8)
+    mems = jnp.asarray(mems)
+
+    got = deep_roi_flow_batch(mems, prev, nxt, cfg, raft_backend)
+    per = [
+        deep_roi_flow_step(mems[i], prev[i], nxt[i], cfg, raft_backend)
+        for i in range(3)
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(got["box"]), np.stack([np.asarray(p["box"]) for p in per])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["any_active"]),
+        np.asarray([bool(p["any_active"]) for p in per]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["region_pct"]),
+        np.asarray([float(p["region_pct"]) for p in per]), rtol=1e-6,
+    )
+    # model numerics: batch-1 vs batch-3 conv reductions may differ in
+    # order → tolerance on flow, near-exact on the thresholded mask
+    np.testing.assert_allclose(
+        np.asarray(got["flow"]),
+        np.stack([np.asarray(p["flow"]) for p in per]),
+        atol=2e-4, rtol=1e-4,
+    )
+    masks_ref = np.stack([np.asarray(p["mask"]) for p in per])
+    agree = (np.asarray(got["mask"]) == masks_ref).mean()
+    assert agree >= 0.999, agree
+    # inactive sample: everything zero
+    np.testing.assert_array_equal(np.asarray(got["mask"][2]), 0)
+    np.testing.assert_array_equal(np.asarray(got["flow"][2]), 0)
+
+
 @pytest.mark.slow
 def test_deep_full_step(raft_backend):
     cfg_like = dataclasses.replace(

@@ -207,3 +207,47 @@ def test_raft_smoke_training_reduces_loss(rng):
         params, opt_state, loss = step(params, opt_state, jb)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_remat_grad_parity(rng):
+    """RaftConfig.remat / FlowFormerConfig.remat change training HBM, not
+    numerics: loss and grads match the stored-activation scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from nsof_tpu.models.flowformer.config import FlowFormerConfig
+    from nsof_tpu.models.flowformer.model import FlowFormer
+    from nsof_tpu.models.raft import RAFT, RaftConfig
+
+    i1 = jnp.asarray(rng.integers(0, 255, (2, 32, 40, 3)), jnp.uint8)
+    i2 = jnp.asarray(rng.integers(0, 255, (2, 32, 40, 3)), jnp.uint8)
+
+    def loss_and_grads(model, params):
+        def L(p):
+            flows = model.apply({"params": p}, i1, i2)
+            if not isinstance(flows, (list, tuple)):
+                flows = [flows]
+            return sum(jnp.abs(f).mean() for f in flows)
+
+        return float(L(params)), jax.grad(L)(params)
+
+    for make in (
+        lambda remat: RAFT(RaftConfig(small=True, iters=3, remat=remat)),
+        lambda remat: FlowFormer(FlowFormerConfig(
+            cnet="basic", fnet="basic", decoder_depth=3,
+            encoder_depth=1, remat=remat)),
+    ):
+        m0, m1 = make(False), make(True)
+        params = m0.init(jax.random.PRNGKey(0), i1[:1], i1[:1])["params"]
+        l0, g0 = loss_and_grads(m0, params)
+        l1, g1 = loss_and_grads(m1, params)
+        assert abs(l0 - l1) < 1e-6, (l0, l1)
+        d = max(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
+        )
+        scale = max(
+            float(jnp.abs(a).max()) for a in jax.tree.leaves(g0)
+        )
+        # recompute reorders f32 reductions → reassociation noise only
+        assert d < 2e-4 * (1.0 + scale), (d, scale)
