@@ -124,9 +124,12 @@ def rehearse(name, make_state_and_step, batch_shape, steps, ckpt_every):
     # link-bound over the benchmark tunnel; on a real host it rides
     # PCIe/an async input pipeline).  Params advance every step, so no
     # dispatch repeats even though batches cycle.
+    # pool of 2 is enough to defeat the tunnel's identical-dispatch cache
+    # (params advance every step) while leaving HBM headroom for the
+    # FF-at-shape step (~15 G live during backward)
     pool = [
         jax.device_put(synth_batch(rng, b, h, w, 10_000 + i))
-        for i in range(4)
+        for i in range(2)
     ]
     ts_dev = []
     for i in range(min(steps, 60)):
@@ -197,11 +200,18 @@ def main():
         step = make_train_step(model, tx, mesh, iters=12)
         return state, step, step
 
+    out = REPO / "results" / "train_shape.json"
+
     rows["runs"].append(rehearse(
         "raft-basic_b%d_368x496_i12" % args.batch, raft_setup,
         (args.batch, 368, 496), args.steps, ckpt_every=args.steps // 2))
+    out.write_text(json.dumps(rows, indent=1))  # survive an FF-stage crash
 
     if args.ff:
+        import gc
+
+        gc.collect()  # drop the RAFT state/pool device buffers first
+
         from nsof_tpu.models.flowformer.config import get_experiment
 
         def ff_setup():
@@ -220,7 +230,6 @@ def main():
             (8, 368, 496), max(args.steps // 4, 20),
             ckpt_every=max(args.steps // 8, 10)))
 
-    out = REPO / "results" / "train_shape.json"
     out.write_text(json.dumps(rows, indent=1))
     r0 = rows["runs"][0]
     print(json.dumps({
