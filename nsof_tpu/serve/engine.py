@@ -75,7 +75,15 @@ class BatchingEngine:
         max_wait_ms: float = 4.0,
         buckets: tuple[int, ...] | None = None,
         warp_radius: int | None = None,
+        run_fn=None,
+        frame_channels: int = 0,
     ):
+        """``run_fn(mems [B,gh,gw], prevs, nxts) -> dict of [B,...]``
+        overrides the default ``seg_batch_fast`` Farnebäck path — see
+        :meth:`for_deep_backend` for the RAFT/FlowFormer serving form.
+        ``frame_channels`` declares the submitted frame rank (0 = gray
+        [H, W], 3 = RGB [H, W, 3]) so :meth:`warmup` builds the right
+        dummies."""
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -89,23 +97,60 @@ class BatchingEngine:
         if self.buckets[-1] != self.max_batch:
             raise ValueError("largest bucket must equal max_batch")
         self.warp_radius = warp_radius
+        self.frame_channels = int(frame_channels)
         self.stats = EngineStats()
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
 
         import jax
 
-        from nsof_tpu.pipelines.segmentation import seg_batch_fast
+        if run_fn is not None:
+            self._run = run_fn
+        else:
+            from nsof_tpu.pipelines.segmentation import seg_batch_fast
 
-        self._run = jax.jit(
-            lambda m, p, n: seg_batch_fast(
-                m, p, n, self.cfg, warp_radius=self.warp_radius
+            self._run = jax.jit(
+                lambda m, p, n: seg_batch_fast(
+                    m, p, n, self.cfg, warp_radius=self.warp_radius
+                )
             )
-        )
         self._thread = threading.Thread(
             target=self._collector, name="nsof-batcher", daemon=True
         )
         self._thread.start()
+
+    @classmethod
+    def for_deep_backend(
+        cls,
+        cfg: PipelineConfig,
+        backend,
+        max_batch: int = 32,
+        max_wait_ms: float = 8.0,
+        buckets: tuple[int, ...] | None = None,
+    ) -> "BatchingEngine":
+        """Serving engine over the deep ROI-gated step
+        (:func:`nsof_tpu.pipelines.deep_flow.deep_roi_flow_batch`):
+        submit ``(mem_u8 [gh, gw], prev_rgb [H, W, 3], next_rgb)`` per
+        request; the collector coalesces them into one true-batch
+        RAFT/FlowFormer dispatch (107 fps at B=8 on a v5e for
+        RAFT-small 256×384 windows, results/deep_batch_sweep.json).
+        The device grid is the deep-scale one (MEMSIZE/3,
+        raft_seg.py:460-464)."""
+        import jax
+
+        from nsof_tpu.pipelines.deep_flow import deep_roi_flow_batch
+
+        eng = cls(
+            cfg, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            buckets=buckets,
+            run_fn=jax.jit(
+                lambda m, p, n: deep_roi_flow_batch(m, p, n, cfg, backend)
+            ),
+            frame_channels=3,
+        )
+        ms_deep = max(cfg.roi.memsize // 3, 1)
+        eng._mem_grid = (cfg.image_h // ms_deep, cfg.image_w // ms_deep)
+        return eng
 
     # -- public API -----------------------------------------------------
     def submit(
@@ -126,13 +171,18 @@ class BatchingEngine:
         the calling thread (deterministic bucket coverage, which queued
         dummy requests could not guarantee under collector timing)."""
         h, w = self.cfg.image_h, self.cfg.image_w
-        gh = h // self.cfg.roi.memsize
-        gw = w // self.cfg.roi.memsize
+        gh, gw = getattr(
+            self, "_mem_grid",
+            (h // self.cfg.roi.memsize, w // self.cfg.roi.memsize),
+        )
+        fshape = (h, w) if not self.frame_channels else (
+            h, w, self.frame_channels
+        )
         for b in self.buckets:
             out = self._run(
                 np.zeros((b, gh, gw), np.uint8),
-                np.zeros((b, h, w), np.uint8),
-                np.zeros((b, h, w), np.uint8),
+                np.zeros((b,) + fshape, np.uint8),
+                np.zeros((b,) + fshape, np.uint8),
             )
             for v in out.values():
                 np.asarray(v)

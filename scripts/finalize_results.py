@@ -85,8 +85,10 @@ def deep_bench_section():
             f" {r['roi_mfu']*100:.2f}% | {r['full_mfu']*100:.2f}% |"
         )
     if d.get("workload_a_batched"):
-        lines += ["", "Batched ROI throughput (vmapped windows, pipelined"
-                  " dispatch — the serving pattern):", ""]
+        lines += ["", "Batched window throughput (model windows vmapped,"
+                  " pipelined dispatch; superseded by the full-step batch"
+                  " sweep below — deep_roi_flow_batch reaches 107+ fps):",
+                  ""]
         for r in d["workload_a_batched"]:
             lines.append(
                 f"- {r['backend']} B={r['batch']}: "

@@ -98,3 +98,75 @@ def test_engine_parity_coalescing_errors_shutdown():
         n_devices=1,
         timeout=1800,
     )
+
+
+@pytest.mark.slow  # compiles deep buckets on CPU
+def test_deep_engine_parity_and_shutdown():
+    """BatchingEngine.for_deep_backend serves the batched deep step with
+    per-request results equal to the direct deep_roi_flow_batch call."""
+    run_in_cpu_subprocess(
+        """
+        import dataclasses, threading
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from nsof_tpu.config import DATASETS
+        from nsof_tpu.models.raft import RAFT, RaftConfig
+        from nsof_tpu.ops.roi import RoiConfig
+        from nsof_tpu.pipelines.deep_flow import (
+            DeepBackend, deep_roi_flow_batch,
+        )
+        from nsof_tpu.serve import BatchingEngine
+
+        H, W = 96, 128
+        cfg = dataclasses.replace(
+            DATASETS["grasp"], name="deepserve", image_h=H, image_w=W,
+            window_h=72, window_w=96,
+            roi=RoiConfig(memsize=24, thres=100, mode=2, k_max=8),
+        )
+        model = RAFT(RaftConfig(small=True, iters=2))
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        params = model.init(
+            jax.random.PRNGKey(0), dummy, dummy, iters=1)["params"]
+        backend = DeepBackend.from_raft(model, params, iters=2)
+
+        eng = BatchingEngine.for_deep_backend(
+            cfg, backend, max_batch=4, max_wait_ms=50)
+        assert eng.buckets == (1, 2, 4)
+        eng.warmup()
+
+        gh, gw = H // 8, W // 8
+        rng = np.random.default_rng(1)
+        N = 5
+        mems = np.zeros((N, gh, gw), np.uint8)
+        mems[:, 2:11, 3:14] = 255
+        prevs = rng.integers(0, 255, (N, H, W, 3)).astype(np.uint8)
+        nxts = rng.integers(0, 255, (N, H, W, 3)).astype(np.uint8)
+
+        futs = [None] * N
+        def worker(i):
+            futs[i] = eng.submit(mems[i], prevs[i], nxts[i])
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(N)
+        ]
+        for t in threads: t.start()
+        for t in threads: t.join()
+        results = [f.result(timeout=300) for f in futs]
+
+        ref = deep_roi_flow_batch(
+            jnp.asarray(mems), jnp.asarray(prevs), jnp.asarray(nxts),
+            cfg, backend)
+        ref = {k: np.asarray(v) for k, v in ref.items()}
+        for i, r in enumerate(results):
+            # gate math is integer/batch-invariant -> exact; the model's
+            # conv reductions may reassociate across batch sizes -> allow
+            # boundary flicker on the thresholded mask
+            agree = (r["mask"] == ref["mask"][i]).mean()
+            assert agree >= 0.999, (i, agree)
+            np.testing.assert_array_equal(r["box"], ref["box"][i])
+            assert bool(r["any_active"]) == bool(ref["any_active"][i])
+        eng.shutdown()
+        print("deep engine OK")
+        """
+    )
