@@ -14,6 +14,7 @@ windows in batch.  Writes results/deep_batch_sweep.json.
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import pathlib
@@ -41,6 +42,13 @@ def _flops_of(compiled) -> float:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", default=None,
+        help="run a single impl and merge its rows into the existing "
+             "results JSON (other rows kept as previously measured)")
+    args = ap.parse_args()
+
     import jax.numpy as jnp
 
     from nsof_tpu.config import DATASETS
@@ -65,7 +73,9 @@ def main():
 
     results = {"device": str(jax.devices()[0]),
                "window_hw": [256, 384], "frame_hw": [H, W],
-               "model": "raft-small iters=20 bf16", "rows": []}
+               "model": "raft-small iters=20 bf16"
+                        " (structured_ff row: flowformer things_eval)",
+               "rows": []}
 
     mcfg = RaftConfig(small=True, iters=20, compute_dtype=jnp.bfloat16)
     model = RAFT(mcfg)
@@ -80,6 +90,19 @@ def main():
     model_alt = RAFT(mcfg_alt)
     backend_alt = DeepBackend.from_raft(model_alt, params, iters=20)
 
+    def make_ff_backend():
+        from nsof_tpu.models.flowformer import FlowFormer
+        from nsof_tpu.models.flowformer.config import get_experiment
+
+        fcfg = dataclasses.replace(
+            get_experiment("things_eval").model,
+            compute_dtype=jnp.bfloat16)
+        fmodel = FlowFormer(fcfg)
+        fdummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        fparams = fmodel.init(
+            jax.random.PRNGKey(0), fdummy, fdummy)["params"]
+        return DeepBackend.from_flowformer(fmodel, fparams)
+
     def one(m, p, n):
         return deep_roi_flow_step(m, p, n, cfg, backend)["mask"]
 
@@ -91,8 +114,10 @@ def main():
                 masks = jax.vmap(one, in_axes=(None, 0, 0))(m, p, n)
                 return masks.astype(jnp.int32).sum()
             return step
-        if impl in ("structured", "structured_altcorr"):
-            be = backend_alt if impl.endswith("altcorr") else backend
+        if impl in ("structured", "structured_altcorr", "structured_ff"):
+            be = {"structured": backend,
+                  "structured_altcorr": backend_alt,
+                  "structured_ff": make_ff_backend()}[impl]
             memsB = jnp.broadcast_to(mem, (B,) + mem.shape)
 
             @jax.jit
@@ -115,8 +140,14 @@ def main():
         ("vmap_step", (8, 32, 64)),
         ("structured", (8, 32, 64)),
         ("structured_altcorr", (32,)),
+        ("structured_ff", (8,)),
         ("model_only", (32,)),
     ]
+    if args.only:
+        sweeps = [(i, bs) for i, bs in sweeps if i == args.only]
+        if not sweeps:
+            raise SystemExit(f"unknown impl {args.only!r}")
+
     for impl, batches in sweeps:
       for B in batches:
         step = make_step(impl, B)
@@ -162,6 +193,12 @@ def main():
               f"{dt/rounds*1e3:.1f} ms/batch", flush=True)
 
     out = REPO / "results" / "deep_batch_sweep.json"
+    if args.only and out.exists():
+        prev = json.loads(out.read_text())
+        fresh = {(r["impl"], r["batch"]) for r in results["rows"]}
+        kept = [r for r in prev.get("rows", [])
+                if (r["impl"], r["batch"]) not in fresh]
+        results["rows"] = kept + results["rows"]
     out.write_text(json.dumps(results, indent=1))
     best = max(
         (r for r in results["rows"] if r["impl"] != "model_only"),

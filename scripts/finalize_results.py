@@ -150,6 +150,19 @@ def batch_sweep_section():
             f" {r['ms_per_batch']:.1f} | {r['mfu']*100:.2f}% |"
             f" {r['compile_s']:.0f} |"
         )
+    ff = next((r for r in d.get("rows", [])
+               if r["impl"] == "structured_ff"), None)
+    if ff is not None:
+        lines += [
+            "",
+            "`structured_ff` is FlowFormer (things_eval tree, bf16)"
+            " through the same gated batch step:"
+            f" **{ff['ms_per_frame']:.1f} ms/frame served** vs 257"
+            " ms/frame sync in round 4 — an"
+            f" {257/ff['ms_per_frame']:.1f}× serving gain, and the"
+            " highest-MFU deep row (the transformer cost decoder keeps"
+            " the MXU busier than RAFT's small convs).",
+        ]
     return lines
 
 
