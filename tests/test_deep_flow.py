@@ -122,6 +122,52 @@ def test_deep_roi_flow_batch_matches_per_frame(raft_backend):
     np.testing.assert_array_equal(np.asarray(got["flow"][2]), 0)
 
 
+def test_deep_roi_flow_batch_flowformer_backend():
+    """The structured serving batch accepts a FlowFormer backend (the
+    `structured_ff` row of results/deep_batch_sweep.json): shapes, mask
+    values, and inactive-sample zeroing hold for the transformer model
+    exactly as for RAFT (ff_seg.py's backend slot, served batched)."""
+    from nsof_tpu.config import DATASETS
+    from nsof_tpu.models.flowformer import FlowFormer, FlowFormerConfig
+    from nsof_tpu.ops.roi import RoiConfig
+    from nsof_tpu.pipelines.deep_flow import deep_roi_flow_batch
+
+    fcfg = FlowFormerConfig(decoder_depth=2, encoder_depth=1,
+                            cnet="basic", fnet="basic")
+    fmodel = FlowFormer(fcfg)
+    dummy = jnp.zeros((1, 64, 64, 3))
+    fparams = fmodel.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    backend = DeepBackend.from_flowformer(fmodel, fparams)
+
+    H, W = 96, 128
+    cfg = dataclasses.replace(
+        DATASETS["grasp"], name="ffbatch", image_h=H, image_w=W,
+        window_h=64, window_w=96,
+        roi=RoiConfig(memsize=24, thres=100, mode=2, k_max=8),
+    )
+    mems = np.zeros((2, H // 8, W // 8), np.uint8)
+    mems[0, 2:9, 3:13] = 255    # active box
+    # mems[1] stays zero (inactive)
+    rng = np.random.default_rng(7)
+    prev = jnp.asarray(rng.integers(0, 255, (2, H, W, 3)), jnp.uint8)
+    nxt = jnp.asarray(rng.integers(0, 255, (2, H, W, 3)), jnp.uint8)
+
+    got = deep_roi_flow_batch(jnp.asarray(mems), prev, nxt, cfg, backend)
+    assert got["flow"].shape == (2, H, W, 2)
+    assert got["mask"].shape == (2, H, W)
+    assert np.isfinite(np.asarray(got["flow"])).all()
+    assert set(np.unique(np.asarray(got["mask"]))) <= {0, 255}
+    assert np.asarray(got["any_active"]).tolist() == [True, False]
+    # inactive sample: everything zero
+    np.testing.assert_array_equal(np.asarray(got["mask"][1]), 0)
+    np.testing.assert_array_equal(np.asarray(got["flow"][1]), 0)
+    # active sample: flow zero outside the gated box
+    x0, y0, x1, y1 = np.asarray(got["box"][0])
+    fl = np.asarray(got["flow"][0]).copy()
+    fl[y0:y1, x0:x1] = 0
+    np.testing.assert_allclose(fl, 0)
+
+
 @pytest.mark.slow
 def test_deep_full_step(raft_backend):
     cfg_like = dataclasses.replace(
